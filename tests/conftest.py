@@ -1,0 +1,36 @@
+"""Test harness configuration.
+
+Forces an 8-device virtual CPU platform BEFORE jax initializes so every test
+can exercise multi-chip sharding (mesh/pjit/shard_map paths) without TPU
+hardware — JAX's standard fake-multi-device mechanism.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The axon site customization re-forces JAX_PLATFORMS=axon (a tunneled TPU);
+# jax.config wins over the env var, so pin the platform explicitly too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import numpy as np
+
+    return np.random.default_rng(2709)
