@@ -1,0 +1,130 @@
+import numpy as np
+
+from mmrp_tpu.data import dicom as D
+from mmrp_tpu.data.dataset import (
+    BatchIterator,
+    ChestXRDataset,
+    build_dataloader,
+    inverse_frequency_weights,
+    pos_weight_from_labels,
+)
+from mmrp_tpu.data.tokenizer import WordPieceTokenizer
+from mmrp_tpu.labels import NUM_CLASSES
+
+CORPUS = [
+    "the heart is enlarged with cardiomegaly",
+    "no acute cardiopulmonary disease",
+    "small right pleural effusion with atelectasis",
+    "lungs are clear bilaterally no pneumothorax",
+] * 5
+
+
+def _tok():
+    return WordPieceTokenizer.train(CORPUS, vocab_size=512, min_freq=1)
+
+
+def test_tokenizer_roundtrip_known_words():
+    tok = _tok()
+    pieces = tok.tokenize("cardiomegaly effusion")
+    assert "cardiomegaly" in pieces
+    assert "effusion" in pieces
+
+
+def test_tokenizer_subword_fallback():
+    tok = _tok()
+    pieces = tok.tokenize("pneumomediastinum")  # unseen word
+    assert len(pieces) >= 1
+    assert all(p == "[UNK]" or p.replace("##", "") for p in pieces)
+    # never fails to produce ids
+    ids, mask = tok.encode("zzzgibberishzzz qqq")
+    assert ids.shape == (512,)
+
+
+def test_encode_fixed_shape_and_mask():
+    tok = _tok()
+    ids, mask = tok.encode("the heart is enlarged", max_length=16)
+    assert ids.shape == (16,) and mask.shape == (16,)
+    n = int(mask.sum())
+    assert ids[0] == tok.cls_id
+    assert ids[n - 1] == tok.sep_id
+    assert (ids[n:] == tok.pad_id).all()
+
+
+def test_encode_truncation():
+    tok = _tok()
+    long_text = " ".join(["cardiomegaly"] * 100)
+    ids, mask = tok.encode(long_text, max_length=10)
+    assert ids.shape == (10,)
+    assert int(mask.sum()) == 10
+
+
+def test_vocab_save_load(tmp_path):
+    tok = _tok()
+    p = tmp_path / "vocab.txt"
+    tok.save_vocab(str(p))
+    tok2 = WordPieceTokenizer.from_vocab_file(str(p))
+    assert tok2.vocab == tok.vocab
+
+
+def _records(rng, n=10):
+    recs = []
+    for i in range(n):
+        arr = (rng.random((48, 48)) * 1000).astype(np.uint16)
+        blob = D.write_dicom(None, arr)
+        vec = [0] * NUM_CLASSES
+        vec[i % NUM_CLASSES] = 1
+        recs.append(
+            {
+                "id": f"r{i}",
+                "dicom_path": blob,  # bytes accepted by the decoder
+                "report_text": CORPUS[i % len(CORPUS)],
+                "labels": vec,
+            }
+        )
+    return recs
+
+
+def test_dataset_getitem(rng):
+    ds = ChestXRDataset(_records(rng), _tok(), max_length=32, image_size=64)
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)  # NHWC
+    assert s["input_ids"].shape == (32,)
+    assert s["labels"].shape == (NUM_CLASSES,)
+
+
+def test_batch_iterator_fixed_shapes(rng):
+    ds = ChestXRDataset(_records(rng, 10), _tok(), max_length=32, image_size=64)
+    it = BatchIterator(ds, batch_size=4, shuffle=True, seed=0)
+    batches = list(it)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["image"].shape == (4, 64, 64, 3)
+        assert b["valid"].shape == (4,)
+    # last batch padded: 10 = 4+4+2
+    assert batches[-1]["valid"].sum() == 2
+
+
+def test_weighted_sampler_prefers_rare(rng):
+    labels = np.zeros((100, 2), np.float32)
+    labels[:90, 0] = 1  # common class
+    labels[90:, 1] = 1  # rare class
+    w = inverse_frequency_weights(labels)
+    assert w[95] > w[5]
+
+
+def test_pos_weight_clamp():
+    labels = np.zeros((100, 2), np.float32)
+    labels[:5, 0] = 1
+    labels[:50, 1] = 1
+    pw = pos_weight_from_labels(labels, clamp_max=1.0)
+    assert (pw <= 1.0).all()
+    pw2 = pos_weight_from_labels(labels, clamp_max=30.0)
+    assert pw2[0] == 19.0  # 95/5
+
+
+def test_build_dataloader_prefetch(rng):
+    ds = ChestXRDataset(_records(rng, 8), _tok(), max_length=16, image_size=32)
+    dl = build_dataloader(ds, batch_size=4, num_workers=2, seed=1)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (4, 32, 32, 3)
