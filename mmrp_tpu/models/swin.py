@@ -1,0 +1,245 @@
+"""Swin Transformer vision encoder (Flax linen, Pallas window attention).
+
+From-scratch Swin for TPU — the reference consumes timm's
+``swin_base_patch4_window7_224`` through ``forward_features`` and mean-pools
+patches for the global vector (reference: src/Model/fusion.py:189-265).
+This implementation keeps the same architecture family (patch-embed 4x4,
+4 stages, window 7, shifted windows, relative position bias, patch merging)
+but is built on the framework's windowed-attention op
+(mmrp_tpu/ops/window_attention.py) with its static combined-bias design:
+every block's relative bias + shift mask + padding collapse into one
+additive tensor so the hot loop is batched matmuls the MXU tiles cleanly.
+
+Presets: ``tiny`` (96, [2,2,6,2]) and ``base`` (128, [2,2,18,2]) — final
+feature dim 768 / 1024, 49 patches at 224x224, matching the shapes the rest
+of the stack expects (fusion.py:259-265).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mmrp_tpu.models.layers import DropPath, Mlp
+from mmrp_tpu.ops.window_attention import (
+    build_combined_bias,
+    window_attention,
+    window_partition,
+    window_reverse,
+)
+
+
+@dataclass(frozen=True)
+class SwinConfig:
+    img_size: int = 224
+    patch_size: int = 4
+    in_chans: int = 3
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.1
+    dropout: float = 0.0
+    use_pallas: bool = True
+
+    @property
+    def num_features(self) -> int:
+        return self.embed_dim * 2 ** (len(self.depths) - 1)
+
+    @staticmethod
+    def tiny(**kw) -> "SwinConfig":
+        return SwinConfig(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), **kw)
+
+    @staticmethod
+    def small(**kw) -> "SwinConfig":
+        return SwinConfig(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24), **kw)
+
+    @staticmethod
+    def base(**kw) -> "SwinConfig":
+        return SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), **kw)
+
+    @staticmethod
+    def from_name(name: str, **kw) -> "SwinConfig":
+        name = name.lower()
+        if name in ("swin", "swin_base", "base"):
+            return SwinConfig.base(**kw)
+        if name in ("swin_small", "small"):
+            return SwinConfig.small(**kw)
+        if name in ("swin_tiny", "tiny"):
+            return SwinConfig.tiny(**kw)
+        raise ValueError(f"unknown swin preset {name!r}")
+
+
+class PatchEmbed(nn.Module):
+    embed_dim: int
+    patch_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return x  # (B, H/ps, W/ps, embed_dim)
+
+
+class WindowAttention(nn.Module):
+    """Windowed multi-head self-attention with relative position bias."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: int
+    input_resolution: Tuple[int, int]
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        H, W = self.input_resolution
+        ws = self.window_size
+        shift = self.shift if min(H, W) > ws else 0
+        B = x.shape[0]
+        N = ws * ws
+        n_pad = 64 if N <= 64 else ((N + 127) // 128) * 128
+        nW = (H // ws) * (W // ws)
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        rel_table = self.param(
+            "rel_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        bias2 = build_combined_bias(rel_table, ws, H, W, shift, n_pad)
+
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        win = window_partition(qkv, ws)  # (B, nW, N, 3C)
+        win = jnp.pad(win, ((0, 0), (0, 0), (0, n_pad - N), (0, 0)))
+        # -> (B, nW, N_pad, 3, h, d) -> head-major (B, h, nW, N_pad, d)
+        win = win.reshape(B, nW, n_pad, 3, self.num_heads, head_dim)
+        win = win.transpose(3, 0, 4, 1, 2, 5)  # (3, B, h, nW, N_pad, d)
+        q, k, v = win[0], win[1], win[2]
+        G = self.num_heads * nW
+        q = q.reshape(B, G, n_pad, head_dim)
+        k = k.reshape(B, G, n_pad, head_dim)
+        v = v.reshape(B, G, n_pad, head_dim)
+
+        out = window_attention(q, k, v, bias2, scale, use_pallas=self.use_pallas)
+
+        out = out.reshape(B, self.num_heads, nW, n_pad, head_dim)
+        out = out.transpose(0, 2, 3, 1, 4).reshape(B, nW, n_pad, self.dim)
+        out = out[:, :, :N, :]
+        out = window_reverse(out, ws, H, W)  # (B, H, W, C)
+
+        if shift > 0:
+            out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: int
+    input_resolution: Tuple[int, int]
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dropout: float = 0.0
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = WindowAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            shift=self.shift,
+            input_resolution=self.input_resolution,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            name="attn",
+        )(y)
+        x = x + DropPath(self.drop_path)(y, deterministic)
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = Mlp(
+            int(self.dim * self.mlp_ratio),
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic)
+        return x + DropPath(self.drop_path)(y, deterministic)
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C) -> (B, H/2, W/2, 2C)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype)(x)
+
+
+class SwinEncoder(nn.Module):
+    """Returns dict(patches (B, 49, F), global (B, F)) like the reference's
+    forward_features + mean-pool contract (fusion.py:255-265)."""
+
+    config: SwinConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        res = cfg.img_size // cfg.patch_size
+        x = PatchEmbed(cfg.embed_dim, cfg.patch_size, dtype=self.dtype, name="patch_embed")(x)
+
+        total_blocks = sum(cfg.depths)
+        dpr = np.linspace(0.0, cfg.drop_path_rate, total_blocks)
+        block_idx = 0
+        dim = cfg.embed_dim
+        for stage, depth in enumerate(cfg.depths):
+            for blk in range(depth):
+                x = SwinBlock(
+                    dim=dim,
+                    num_heads=cfg.num_heads[stage],
+                    window_size=cfg.window_size,
+                    shift=0 if blk % 2 == 0 else cfg.window_size // 2,
+                    input_resolution=(res, res),
+                    mlp_ratio=cfg.mlp_ratio,
+                    drop_path=float(dpr[block_idx]),
+                    dropout=cfg.dropout,
+                    use_pallas=cfg.use_pallas,
+                    dtype=self.dtype,
+                    name=f"stage{stage}_block{blk}",
+                )(x, deterministic)
+                block_idx += 1
+            if stage < len(cfg.depths) - 1:
+                x = PatchMerging(dim, dtype=self.dtype, name=f"merge{stage}")(x)
+                dim *= 2
+                res //= 2
+
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        B, H, W, C = x.shape
+        patches = x.reshape(B, H * W, C)
+        return {"patches": patches, "global": patches.mean(axis=1)}

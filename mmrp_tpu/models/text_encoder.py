@@ -1,0 +1,131 @@
+"""BERT-family text encoder (Flax linen) for radiology reports.
+
+The reference loads ClinicalBERT through HuggingFace and takes
+``last_hidden_state``, truncated to the model's max positions (reference:
+src/Model/fusion.py:140-156, 313-325). This is a from-scratch Flax encoder
+with the same architecture family (learned word+position embeddings,
+post-LN transformer stack, padding-mask attention) so pretrained
+ClinicalBERT weights can be mapped in when available, while the framework
+remains fully functional offline with its own WordPiece vocab.
+
+Presets: ``clinicalbert`` (12x768, vocab 28996) and ``small`` (4x256) —
+the latter keeps unit tests and the single-chip bench light.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    vocab_size: int = 28996
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_dim: int = 3072
+    max_positions: int = 512
+    dropout: float = 0.1
+    type_vocab_size: int = 2
+
+    @staticmethod
+    def clinicalbert(**kw) -> "TextConfig":
+        return TextConfig(**kw)
+
+    @staticmethod
+    def small(**kw) -> "TextConfig":
+        defaults = dict(
+            vocab_size=8192,
+            hidden_dim=256,
+            num_layers=4,
+            num_heads=4,
+            intermediate_dim=1024,
+            max_positions=512,
+        )
+        defaults.update(kw)
+        return TextConfig(**defaults)
+
+    @staticmethod
+    def from_name(name: str, **kw) -> "TextConfig":
+        name = name.lower()
+        if name in ("clinicalbert", "bert", "bert_base"):
+            return TextConfig.clinicalbert(**kw)
+        if name in ("small", "bert_small"):
+            return TextConfig.small(**kw)
+        raise ValueError(f"unknown text encoder preset {name!r}")
+
+
+class BertEmbeddings(nn.Module):
+    config: TextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, deterministic: bool = True):
+        cfg = self.config
+        B, L = input_ids.shape
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_dim, dtype=self.dtype, name="word")(
+            input_ids
+        )
+        pos_ids = jnp.arange(L)[None, :]
+        pos = nn.Embed(
+            cfg.max_positions, cfg.hidden_dim, dtype=self.dtype, name="position"
+        )(pos_ids)
+        tok_type = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_dim, dtype=self.dtype, name="token_type"
+        )(jnp.zeros_like(input_ids))
+        x = word + pos + tok_type
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+
+class BertLayer(nn.Module):
+    config: TextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask, deterministic: bool = True):
+        cfg = self.config
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads,
+            dropout_rate=cfg.dropout,
+            dtype=self.dtype,
+            name="attention",
+        )(x, x, mask=attn_mask, deterministic=deterministic)
+        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x + y)
+        y = nn.Dense(cfg.intermediate_dim, dtype=self.dtype, name="ffn_in")(x)
+        y = nn.gelu(y)
+        y = nn.Dense(cfg.hidden_dim, dtype=self.dtype, name="ffn_out")(y)
+        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="ffn_norm")(x + y)
+
+
+class TextEncoder(nn.Module):
+    """-> dict(tokens (B, L, D), cls (B, D))."""
+
+    config: TextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, input_ids, attention_mask, deterministic: bool = True
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        # truncate to max positions, like the reference (fusion.py:313-320)
+        input_ids = input_ids[:, : cfg.max_positions]
+        attention_mask = attention_mask[:, : cfg.max_positions]
+
+        x = BertEmbeddings(cfg, dtype=self.dtype, name="embeddings")(
+            input_ids, deterministic
+        )
+        # (B, 1, Lq, Lk) broadcastable attention mask over keys
+        mask = attention_mask[:, None, None, :].astype(bool)
+        for i in range(cfg.num_layers):
+            x = BertLayer(cfg, dtype=self.dtype, name=f"layer{i}")(
+                x, mask, deterministic
+            )
+        return {"tokens": x, "cls": x[:, 0, :]}
