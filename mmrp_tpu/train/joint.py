@@ -1,0 +1,168 @@
+"""Joint multi-modal training: loss assembly + sharded train step.
+
+The compute contract mirrors the reference trainer's stage-3 loss
+(reference: src/Trainner/train.py:555-611):
+
+    loss = cls_weight * hybrid(BCE+focal, pos_weight)
+         + cont_weight * ( InfoNCE(img, txt)
+                         + weight_img_joint * InfoNCE(img, joint)
+                         + weight_text_joint * InfoNCE(txt, joint) )
+         + kg_weight * kg_alignment(joint -> proj_to_kg, kg_targets)
+
+TPU-first differences: the whole step (forward, all losses, backward,
+optimizer) is ONE jitted SPMD program over the device mesh — batch sharded
+on the data axis, wide matmuls optionally tensor-parallel
+(parallel/mesh.py) — where the reference runs eager CUDA ops with
+host-side Python between them. KG targets arrive as dense per-sample
+vectors from the pipeline instead of per-sample dict lookups inside the
+loss (helper.py:577-601, a CPU bottleneck noted in SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmrp_tpu.config import Config
+from mmrp_tpu.models.multimodal import MultiModalRetrievalModel
+from mmrp_tpu.train import losses as L
+from mmrp_tpu.train.state import TrainState, make_optimizer
+
+
+def init_train_state(
+    model: MultiModalRetrievalModel,
+    cfg: Config,
+    rng: jax.Array,
+    sample_batch: Dict[str, jnp.ndarray],
+    total_steps: int = 10_000,
+    kg_dim: Optional[int] = None,
+) -> TrainState:
+    p_rng, d_rng, s_rng = jax.random.split(rng, 3)
+    model_params = model.init(
+        {"params": p_rng, "dropout": d_rng},
+        sample_batch["image"],
+        sample_batch["input_ids"],
+        sample_batch["attention_mask"],
+        deterministic=True,
+    )["params"]
+    params = {"model": model_params}
+    if kg_dim:
+        joint_dim = model.config.joint_dim
+        params["kg_proj"] = (
+            jax.random.normal(s_rng, (joint_dim, kg_dim), jnp.float32)
+            * (1.0 / np.sqrt(joint_dim))
+        )
+    tx = make_optimizer(cfg.lr, total_steps)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=params,
+        tx=tx,
+        base_rng=jax.random.PRNGKey(cfg.seed),
+    )
+
+
+def compute_losses(
+    model: MultiModalRetrievalModel,
+    params: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    cfg: Config,
+    pos_weight: Optional[jnp.ndarray],
+    deterministic: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    out = model.apply(
+        {"params": params["model"]},
+        batch["image"],
+        batch["input_ids"],
+        batch["attention_mask"],
+        deterministic=deterministic,
+        rngs=None if deterministic else {"dropout": rng},
+    )
+    valid = batch.get("valid")
+    labels = batch["labels"]
+
+    if cfg.use_hybrid:
+        cls_loss = L.hybrid_bce_focal(
+            out["logits"], labels, cfg.focal_ratio, cfg.gamma_focal, pos_weight, valid
+        )
+    elif cfg.use_focal:
+        cls_loss = L.focal_loss(out["logits"], labels, cfg.gamma_focal, valid)
+    else:
+        cls_loss = L.bce_with_logits(out["logits"], labels, pos_weight, valid)
+
+    nce_it = L.info_nce(out["img_emb"], out["txt_emb"], cfg.temperature, valid)
+    nce_ij = L.info_nce(out["img_emb"], out["joint_emb"], cfg.temperature, valid)
+    nce_tj = L.info_nce(out["txt_emb"], out["joint_emb"], cfg.temperature, valid)
+    cont_loss = nce_it + cfg.weight_img_joint * nce_ij + cfg.weight_text_joint * nce_tj
+
+    total = cfg.cls_weight * cls_loss + cfg.cont_weight * cont_loss
+    metrics = {
+        "loss/cls": cls_loss,
+        "loss/contrastive": cont_loss,
+        "loss/nce_img_txt": nce_it,
+    }
+
+    if "kg_proj" in params and "kg_target" in batch:
+        kg_loss = L.kg_alignment_loss(
+            out["joint_emb"],
+            params["kg_proj"],
+            batch["kg_target"],
+            batch.get("kg_target_valid", jnp.ones(labels.shape[0])),
+            method=cfg.kg_method,
+            valid=valid,
+        )
+        total = total + cfg.kg_weight * kg_loss
+        metrics["loss/kg_align"] = kg_loss
+
+    metrics["loss/total"] = total
+    return total, metrics
+
+
+def make_train_step(
+    model: MultiModalRetrievalModel,
+    cfg: Config,
+    pos_weight: Optional[np.ndarray] = None,
+    donate: bool = True,
+) -> Callable:
+    """Returns jittable fn(state, batch) -> (state, metrics)."""
+    pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng = state.step_rng()
+
+        def loss_fn(params):
+            return compute_losses(model, params, batch, rng, cfg, pw)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: MultiModalRetrievalModel) -> Callable:
+    """jitted fn(params, batch) -> {probs, joint_emb, img_emb, txt_emb}."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply(
+            {"params": params["model"]},
+            batch["image"],
+            batch["input_ids"],
+            batch["attention_mask"],
+            deterministic=True,
+        )
+        return {
+            "probs": jax.nn.sigmoid(out["logits"]),
+            "joint_emb": out["joint_emb"],
+            "img_emb": out["img_emb"],
+            "txt_emb": out["txt_emb"],
+        }
+
+    return eval_step
