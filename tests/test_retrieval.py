@@ -1,0 +1,209 @@
+import numpy as np
+import pytest
+
+from mmrp_tpu.parallel.mesh import build_mesh
+from mmrp_tpu.retrieval.gallery import RetrievalEngine, l2_normalize, topk_single
+from mmrp_tpu.retrieval.dls import DLSRetrievalEngine, build_link_graph, make_retrieval_engine
+from mmrp_tpu.retrieval.rerank import Reranker, label_jaccard, minmax_scale
+
+
+def _gallery(rng, N=200, D=32):
+    return rng.standard_normal((N, D)).astype(np.float32)
+
+
+def test_topk_single_matches_numpy(rng):
+    g = l2_normalize(_gallery(rng))
+    q = l2_normalize(rng.standard_normal((5, 32)).astype(np.float32))
+    s, i = topk_single(q, g)
+    s, i = np.asarray(s), np.asarray(i)
+    full = q @ g.T
+    for r in range(5):
+        want = np.argsort(-full[r])[:10]
+        np.testing.assert_array_equal(i[r], want)
+        np.testing.assert_allclose(s[r], full[r][want], atol=1e-5)
+
+
+def test_engine_exact_vs_brute_force(rng):
+    g = _gallery(rng)
+    ids = [f"id{i}" for i in range(g.shape[0])]
+    eng = RetrievalEngine(g, ids)
+    q = rng.standard_normal(32).astype(np.float32)
+    res = eng.retrieve(q, K=7)
+    assert len(res) == 7
+    gn = l2_normalize(g)
+    qn = q / np.linalg.norm(q)
+    want = np.argsort(-(gn @ qn))[:7]
+    assert [r[0] for r in res] == [ids[w] for w in want]
+    # scores descending
+    scores = [r[1] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_engine_excludes_self_match(rng):
+    g = _gallery(rng, N=50)
+    ids = [f"id{i}" for i in range(50)]
+    eng = RetrievalEngine(g, ids)
+    res = eng.retrieve(g[7], K=5, query_id="id7")
+    assert "id7" not in [r[0] for r in res]
+    assert len(res) == 5
+
+
+def test_engine_sharded_matches_single(rng):
+    g = _gallery(rng, N=256)
+    ids = [f"id{i}" for i in range(256)]
+    mesh = build_mesh(("dp",), (8,))
+    eng_m = RetrievalEngine(g, ids, mesh=mesh)
+    eng_s = RetrievalEngine(g, ids)
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    s1, i1 = eng_s.retrieve_batch(q, k=10)
+    s2, i2 = eng_m.retrieve_batch(q, k=10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_engine_sharded_unpadded_gallery(rng):
+    # N not divisible by shards -> zero padding must never win
+    g = _gallery(rng, N=101)
+    ids = [f"id{i}" for i in range(101)]
+    mesh = build_mesh(("dp",), (8,))
+    eng = RetrievalEngine(g, ids, mesh=mesh)
+    s, i = eng.retrieve_batch(rng.standard_normal((2, 32)).astype(np.float32), k=10)
+    assert (i < 101).all()
+
+
+def test_get_embeddings_for_ids_zero_fill(rng):
+    g = _gallery(rng, N=10)
+    ids = [f"id{i}" for i in range(10)]
+    eng = RetrievalEngine(g, ids)
+    out = eng.get_embeddings_for_ids(["id3", "missing", "id0"])
+    assert out.shape == (3, 32)
+    np.testing.assert_allclose(out[0], eng.embeddings[3])
+    np.testing.assert_array_equal(out[1], np.zeros(32))
+
+
+def test_engine_rejects_mismatched_ids(rng):
+    with pytest.raises(ValueError):
+        RetrievalEngine(_gallery(rng, N=5), ["a", "b"])
+
+
+# ---------------- DLS parity engine ----------------
+
+
+def test_link_graph_properties(rng):
+    g = _gallery(rng, N=60)
+    nbrs, sims = build_link_graph(g, max_links=5, threshold=-1.0)
+    assert nbrs.shape == (60, 5)
+    # no self links; sims sorted desc per row
+    for r in range(60):
+        assert r not in nbrs[r]
+        row = sims[r][nbrs[r] >= 0]
+        assert (np.diff(row) <= 1e-6).all()
+
+
+def test_link_graph_threshold(rng):
+    g = _gallery(rng, N=40)
+    nbrs, sims = build_link_graph(g, max_links=8, threshold=0.9)
+    # random gaussians rarely reach cosine 0.9 -> mostly empty rows
+    assert (nbrs == -1).sum() > 40 * 6
+
+
+def test_dls_retrieves_and_is_deterministic(rng, tmp_path):
+    g = _gallery(rng, N=120)
+    ids = [f"id{i}" for i in range(120)]
+    cache = tmp_path / "links.npz"
+    eng = DLSRetrievalEngine(g, ids, max_links=10, link_threshold=-1.0,
+                             cache_path=str(cache))
+    q = g[11]
+    r1 = eng.retrieve(q, K=10, query_id="id11")
+    r2 = eng.retrieve(q, K=10, query_id="id11")
+    assert r1 == r2  # seeded by query id hash
+    assert "id11" not in [r[0] for r in r1]
+    assert cache.exists()
+    # cache reload path
+    eng2 = DLSRetrievalEngine(g, ids, max_links=10, link_threshold=-1.0,
+                              cache_path=str(cache))
+    assert eng2.retrieve(q, K=10, query_id="id11") == r1
+
+
+def test_dls_recall_vs_exact(rng):
+    # with a connected graph and enough steps, DLS should find most of the
+    # exact top-10 (it is approximate by design)
+    g = _gallery(rng, N=150)
+    ids = [f"id{i}" for i in range(150)]
+    exact = RetrievalEngine(g, ids)
+    dls = DLSRetrievalEngine(g, ids, max_links=10, link_threshold=-1.0,
+                             max_steps=150)
+    hits, total = 0, 0
+    for qi in range(10):
+        e = {r[0] for r in exact.retrieve(g[qi], K=10, query_id=ids[qi])}
+        d = {r[0] for r in dls.retrieve(g[qi], K=10, query_id=ids[qi])}
+        hits += len(e & d)
+        total += 10
+    assert hits / total > 0.5
+
+
+def test_make_retrieval_engine_factory(rng):
+    g = _gallery(rng, N=30)
+    ids = [f"i{k}" for k in range(30)]
+    assert isinstance(make_retrieval_engine("exact", g, ids), RetrievalEngine)
+    assert isinstance(
+        make_retrieval_engine("dls", g, ids, link_threshold=-1.0), DLSRetrievalEngine
+    )
+    with pytest.raises(ValueError):
+        make_retrieval_engine("faiss", g, ids)
+
+
+# ---------------- reranker ----------------
+
+
+def test_minmax_scale_reference_semantics():
+    np.testing.assert_allclose(minmax_scale([1.0, 1.0, 1.0]), [0, 0, 0])
+    np.testing.assert_allclose(minmax_scale([0.0, 5.0, 10.0]), [0, 0.5, 1.0])
+    assert minmax_scale(np.array([])).size == 0
+
+
+def test_label_jaccard():
+    q = np.array([1, 1, 0, 0])
+    c = np.array([[1, 1, 0, 0], [1, 0, 1, 0], [0, 0, 0, 0]])
+    np.testing.assert_allclose(label_jaccard(q, c), [1.0, 1 / 3, 0.0])
+
+
+def test_reranker_weights_and_order(rng):
+    D = 16
+    q_emb = rng.standard_normal(D).astype(np.float32)
+    cand_embs = np.stack([q_emb * 2, rng.standard_normal(D), -q_emb]).astype(np.float32)
+    labels = {
+        "q": np.array([1, 1, 0]),
+        "a": np.array([0, 0, 1]),  # emb-similar but label-dissimilar
+        "b": np.array([1, 1, 0]),  # label-identical
+        "c": np.array([0, 1, 0]),
+    }
+    rr = Reranker(alpha=0.0, beta=1.0, gamma=0.0, labels_by_id=labels)
+    out = rr.rerank("q", ["a", "b", "c"], cand_embs, q_emb)
+    assert out[0][0] == "b"  # pure label rerank puts exact label match first
+    rr2 = Reranker(alpha=1.0, beta=0.0, gamma=0.0, labels_by_id=labels)
+    out2 = rr2.rerank("q", ["a", "b", "c"], cand_embs, q_emb)
+    assert out2[0][0] == "a"  # pure embedding rerank prefers cosine match
+
+
+def test_reranker_kg_cascade(rng):
+    D, Dk = 8, 6
+    node_emb = rng.standard_normal((5, Dk)).astype(np.float32)
+    node2id = {"report:q": 0, "label:x": 1, "label:y": 2}
+    labels = {"q": np.array([1, 0]), "a": np.array([1, 1]), "b": np.array([0, 1])}
+    rr = Reranker(
+        labels_by_id=labels,
+        kg_node_embeddings=node_emb,
+        kg_node2id=node2id,
+        label_names=["x", "y"],
+    )
+    # report node direct hit
+    np.testing.assert_allclose(rr.kg_vector("q"), node_emb[0])
+    # fallback: mean of label nodes
+    np.testing.assert_allclose(rr.kg_vector("a"), node_emb[[1, 2]].mean(0), rtol=1e-6)
+    # precomputed vector wins
+    rr2 = Reranker(kg_vectors_by_id={"z": np.ones(Dk)}, kg_node_embeddings=node_emb,
+                   kg_node2id=node2id)
+    np.testing.assert_allclose(rr2.kg_vector("z"), np.ones(Dk))
+    # nothing known -> None
+    assert rr.kg_vector("unknown") is None
