@@ -1,0 +1,252 @@
+"""Explainability engine: attention maps, Integrated Gradients, Grad-CAM.
+
+Capability parity with the reference ExplanationEngine (reference:
+src/Model/explain.py:51-976) rebuilt on jax.grad / vmap / scan:
+
+- **attention maps**: head- and layer-averaged cross-attention reductions
+  (txt->img weighted by the token mask; img->txt salience), reshaped to the
+  patch grid and bilinearly upsampled to image size; the final map blends
+  0.6 * primary + 0.4 * secondary like the reference (explain.py:885-923);
+- **Integrated Gradients** over the input image: a ``lax.scan`` over
+  interpolation steps of grad(logit_target) — one compiled program instead
+  of captum's per-step Python loop (explain.py:302-427);
+- **Grad-CAM** at the projected-patch level via the model's ``patch_delta``
+  hook: weights = mean grad per channel, cam = ReLU(sum_c w_c * act_c)
+  (explain.py:170-300);
+- map comparison metrics Pearson / Spearman / IoU@k% (helper.py:173-209).
+
+All engine outputs are numpy arrays shaped (H, W) in [0, 1].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _normalize01(m: jnp.ndarray) -> jnp.ndarray:
+    lo = m.min(axis=(-2, -1), keepdims=True)
+    hi = m.max(axis=(-2, -1), keepdims=True)
+    return (m - lo) / jnp.maximum(hi - lo, 1e-8)
+
+
+def patch_vector_to_map(
+    v: jnp.ndarray, grid: int, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """(..., grid*grid) -> (..., H, W) bilinear upsample, minmax to [0,1]."""
+    m = v.reshape(v.shape[:-1] + (grid, grid))
+    m = jax.image.resize(m, m.shape[:-2] + tuple(out_hw), method="bilinear")
+    return _normalize01(m)
+
+
+class ExplanationEngine:
+    """Wraps (model, params). All heavy paths are jitted once per shape."""
+
+    def __init__(self, model, params, image_hw: Tuple[int, int] = (224, 224)):
+        self.model = model
+        self.params = params
+        self.image_hw = image_hw
+
+        def fwd(params, image, ids, mask):
+            return model.apply(
+                {"params": params["model"]} if "model" in params else {"params": params},
+                image, ids, mask, deterministic=True, return_attention=True,
+            )
+
+        self._fwd = jax.jit(fwd)
+        self._ig = {}
+        self._gradcam = None
+
+    # -- attention maps (explain.py:429-798) ---------------------------------
+
+    def attention_maps(
+        self,
+        image: np.ndarray,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+    ) -> Dict[str, np.ndarray]:
+        out = self._fwd(
+            self.params, jnp.asarray(image), jnp.asarray(input_ids),
+            jnp.asarray(attention_mask),
+        )
+        attn = out["attention"]
+        n_patches = attn[0]["txt2img"].shape[-1]
+        grid = int(round(n_patches**0.5))
+        tmask = jnp.asarray(attention_mask, jnp.float32)
+
+        # txt->img: (B, h, Lt, Np) -> mask tokens -> mean heads+layers+tokens
+        t2i = jnp.stack([a["txt2img"] for a in attn]).mean(axis=(0, 2))  # (B, Lt, Np)
+        Lt = t2i.shape[1]
+        w = tmask[:, :Lt]
+        t2i = (t2i * w[:, :, None]).sum(1) / jnp.maximum(w.sum(1, keepdims=True), 1.0)
+
+        # img->txt salience per patch: how much each patch attends to real text
+        i2t = jnp.stack([a["img2txt"] for a in attn]).mean(axis=(0, 2))  # (B, Np, Lt)
+        i2t = (i2t * w[:, None, : i2t.shape[-1]]).sum(-1)  # (B, Np)
+
+        primary = patch_vector_to_map(t2i, grid, self.image_hw)
+        secondary = patch_vector_to_map(i2t, grid, self.image_hw)
+        final = _normalize01(0.6 * primary + 0.4 * secondary)  # explain.py:885-923
+
+        # token-level attention (for the web demo's token HTML)
+        tok = jnp.stack([a["txt2img"] for a in attn]).mean(axis=(0, 2, 4))  # (B, Lt)
+        tok = tok * w
+        tok = tok / jnp.maximum(tok.max(axis=1, keepdims=True), 1e-8)
+        return {
+            "attn_txt2img": np.asarray(primary),
+            "attn_img2txt": np.asarray(secondary),
+            "attn_final": np.asarray(final),
+            "token_attention": np.asarray(tok),
+        }
+
+    # -- integrated gradients (explain.py:302-427) ------------------------------
+
+    def integrated_gradients(
+        self,
+        image: np.ndarray,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        target: int,
+        n_steps: int = 50,
+    ) -> np.ndarray:
+        """(B, H, W, 3) -> (B, H, W) attribution map, zero baseline."""
+        key = n_steps
+        if key not in self._ig:
+
+            @functools.partial(jax.jit, static_argnames=())
+            def ig_fn(params, image, ids, mask, target_idx):
+                def logit_of(img):
+                    out = self.model.apply(
+                        {"params": params["model"]} if "model" in params else {"params": params},
+                        img, ids, mask, deterministic=True,
+                    )
+                    return out["logits"][:, target_idx].sum()
+
+                grad_fn = jax.grad(logit_of)
+                alphas = (jnp.arange(n_steps) + 0.5) / n_steps
+
+                def body(acc, alpha):
+                    g = grad_fn(image * alpha)
+                    return acc + g, None
+
+                total, _ = jax.lax.scan(body, jnp.zeros_like(image), alphas)
+                ig = image * total / n_steps  # (B, H, W, 3)
+                return _normalize01(jnp.abs(ig).sum(-1))
+
+            self._ig[key] = ig_fn
+        out = self._ig[key](
+            self.params, jnp.asarray(image), jnp.asarray(input_ids),
+            jnp.asarray(attention_mask), target,
+        )
+        return np.asarray(out)
+
+    # -- grad-cam (explain.py:170-300) ----------------------------------------------
+
+    def grad_cam(
+        self,
+        image: np.ndarray,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        target: int,
+    ) -> np.ndarray:
+        if self._gradcam is None:
+
+            @jax.jit
+            def cam_fn(params, image, ids, mask, target_idx):
+                mp = {"params": params["model"]} if "model" in params else {"params": params}
+
+                def logit_of(delta):
+                    out = self.model.apply(
+                        mp, image, ids, mask, deterministic=True, patch_delta=delta,
+                    )
+                    return out["logits"][:, target_idx].sum(), out["img_patches_proj"]
+
+                # run once to get the patch activation shape
+                probe = self.model.apply(mp, image, ids, mask, deterministic=True)
+                acts_shape = probe["img_patches_proj"].shape
+                (_, acts), grads = jax.value_and_grad(logit_of, has_aux=True)(
+                    jnp.zeros(acts_shape, jnp.float32)
+                )
+                weights = grads.mean(axis=1, keepdims=True)  # (B, 1, D)
+                cam = jax.nn.relu((weights * acts).sum(-1))  # (B, Np)
+                grid = int(round(cam.shape[-1] ** 0.5))
+                return patch_vector_to_map(cam, grid, self.image_hw)
+
+            self._gradcam = cam_fn
+        out = self._gradcam(
+            self.params, jnp.asarray(image), jnp.asarray(input_ids),
+            jnp.asarray(attention_mask), target,
+        )
+        return np.asarray(out)
+
+    # -- orchestration (explain.py:800-976) -------------------------------------------
+
+    def explain(
+        self,
+        image: np.ndarray,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        targets: Sequence[int],
+        ig_steps: int = 50,
+        include_ig: bool = True,
+        include_gradcam: bool = True,
+    ) -> Dict[str, Any]:
+        maps = self.attention_maps(image, input_ids, attention_mask)
+        per_target: Dict[int, Dict[str, np.ndarray]] = {}
+        for t in targets:
+            entry: Dict[str, np.ndarray] = {}
+            if include_ig:
+                entry["ig"] = self.integrated_gradients(
+                    image, input_ids, attention_mask, int(t), ig_steps
+                )
+            if include_gradcam:
+                entry["grad_cam"] = self.grad_cam(
+                    image, input_ids, attention_mask, int(t)
+                )
+            per_target[int(t)] = entry
+        return {"attention": maps, "per_target": per_target}
+
+
+# ---------------------------------------------------------------------------
+# Map comparison metrics (helper.py:173-209)
+# ---------------------------------------------------------------------------
+
+
+def _rankdata(x: np.ndarray) -> np.ndarray:
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty_like(order, dtype=np.float64)
+    sx = x[order]
+    n = len(x)
+    i = 0
+    vals = np.arange(1, n + 1, dtype=np.float64)
+    while i < n:
+        j = i
+        while j + 1 < n and sx[j + 1] == sx[i]:
+            j += 1
+        vals[i : j + 1] = (i + j + 2) / 2.0
+        i = j + 1
+    ranks[order] = vals
+    return ranks
+
+
+def compare_maps(a: np.ndarray, b: np.ndarray, ious=(0.05, 0.2)) -> Dict[str, float]:
+    """Pearson, Spearman, IoU of the top-k% pixels of two saliency maps."""
+    fa, fb = a.ravel().astype(np.float64), b.ravel().astype(np.float64)
+    out: Dict[str, float] = {}
+    if fa.std() < 1e-12 or fb.std() < 1e-12:
+        out["pearson"] = float("nan")
+        out["spearman"] = float("nan")
+    else:
+        out["pearson"] = float(np.corrcoef(fa, fb)[0, 1])
+        out["spearman"] = float(np.corrcoef(_rankdata(fa), _rankdata(fb))[0, 1])
+    n = fa.size
+    for frac in ious:
+        k = max(1, int(n * frac))
+        ta = set(np.argpartition(-fa, k - 1)[:k].tolist())
+        tb = set(np.argpartition(-fb, k - 1)[:k].tolist())
+        out[f"iou@{int(frac*100)}%"] = len(ta & tb) / len(ta | tb)
+    return out

@@ -156,6 +156,7 @@ class MultiModalRetrievalModel(nn.Module):
         attention_mask: jnp.ndarray,  # (B, Lt)
         deterministic: bool = True,
         return_attention: bool = False,
+        patch_delta: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         cfg = self.config
         D = cfg.joint_dim
@@ -165,6 +166,10 @@ class MultiModalRetrievalModel(nn.Module):
         )
 
         img_patches = nn.Dense(D, dtype=self.dtype, name="img_proj")(feats["img_patches"])
+        if patch_delta is not None:
+            # explainability hook: gradients w.r.t. this zero-valued input are
+            # gradients w.r.t. the projected patches (Grad-CAM, explain.py)
+            img_patches = img_patches + patch_delta
         img_global = nn.Dense(D, dtype=self.dtype, name="img_global_proj")(feats["img_global"])
         txt_tokens = nn.Dense(D, dtype=self.dtype, name="txt_proj")(feats["txt_tokens"])
         txt_cls = nn.Dense(D, dtype=self.dtype, name="txt_cls_proj")(feats["txt_cls"])
@@ -221,6 +226,7 @@ class MultiModalRetrievalModel(nn.Module):
             "joint_emb": joint,
             "img_emb": img_global.astype(jnp.float32),
             "txt_emb": txt_cls.astype(jnp.float32),
+            "img_patches_proj": img_patches.astype(jnp.float32),
         }
         if return_attention:
             out["attention"] = attn_maps

@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmrp_tpu.api import MMRPredictor
+from mmrp_tpu.models.explain import ExplanationEngine, compare_maps, patch_vector_to_map
+from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
+from mmrp_tpu.models.swin import SwinConfig
+from mmrp_tpu.models.text_encoder import TextConfig
+from mmrp_tpu.ops.preprocess import augment_batch, preprocess_batch
+from mmrp_tpu.retrieval.gallery import RetrievalEngine
+from mmrp_tpu.retrieval.rerank import Reranker
+
+MICRO_SWIN = SwinConfig(img_size=28, embed_dim=16, depths=(1,), num_heads=(2,),
+                        window_size=7, use_pallas=False)
+MICRO_TEXT = TextConfig.small(vocab_size=64, hidden_dim=16, num_layers=1,
+                              num_heads=2, intermediate_dim=32, max_positions=16)
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    cfg = MultiModalConfig(swin=MICRO_SWIN, text=MICRO_TEXT, joint_dim=16,
+                           num_fusion_layers=1, num_heads=2, num_classes=8,
+                           max_text_len=8)
+    model = MultiModalRetrievalModel(cfg)
+    img = jnp.asarray(rng.random((2, 28, 28, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = {"model": model.init(jax.random.PRNGKey(0), img, ids, mask)["params"]}
+    return model, params, np.asarray(img), np.asarray(ids), np.asarray(mask)
+
+
+def test_preprocess_batch_matches_host_math(rng):
+    raw = rng.random((2, 32, 40)).astype(np.float32) * 1000
+    wc = np.array([400.0, 500.0], np.float32)
+    ww = np.array([800.0, 600.0], np.float32)
+    out = np.asarray(preprocess_batch(jnp.asarray(raw), jnp.asarray(wc),
+                                      jnp.asarray(ww), out_hw=(16, 16)))
+    assert out.shape == (2, 16, 16, 3)
+    # normalized range: ((x in [0,1]) - .5)/.5 in [-1, 1]
+    assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+    np.testing.assert_allclose(out[..., 0], out[..., 1])
+
+
+def test_augment_batch_shapes_and_flip(rng):
+    imgs = jnp.asarray(rng.random((4, 16, 16, 3)), jnp.float32)
+    out = augment_batch(imgs, jax.random.PRNGKey(0), max_rotate_deg=0.0,
+                        hflip_prob=1.0)
+    # pure flip with 0 rotation: exact horizontal mirror
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs[:, :, ::-1, :]),
+                               atol=1e-5)
+
+
+def test_patch_vector_to_map():
+    v = jnp.zeros((1, 49)).at[0, 24].set(1.0)  # center patch
+    m = np.asarray(patch_vector_to_map(v, 7, (28, 28)))
+    assert m.shape == (1, 28, 28)
+    assert abs(m[0].argmax() // 28 - 14) <= 3 and abs(m[0].argmax() % 28 - 14) <= 3
+    assert m.min() >= 0 and m.max() <= 1.0 + 1e-6
+
+
+def test_attention_maps(setup):
+    model, params, img, ids, mask = setup
+    eng = ExplanationEngine(model, params, image_hw=(28, 28))
+    maps = eng.attention_maps(img, ids, mask)
+    assert maps["attn_final"].shape == (2, 28, 28)
+    assert maps["token_attention"].shape == (2, 8)
+    for k in ("attn_txt2img", "attn_img2txt", "attn_final"):
+        m = maps[k]
+        assert np.isfinite(m).all()
+        assert m.min() >= 0 and m.max() <= 1.0 + 1e-5
+
+
+def test_integrated_gradients(setup):
+    model, params, img, ids, mask = setup
+    eng = ExplanationEngine(model, params, image_hw=(28, 28))
+    ig = eng.integrated_gradients(img, ids, mask, target=3, n_steps=8)
+    assert ig.shape == (2, 28, 28)
+    assert np.isfinite(ig).all()
+    # IG completeness-ish sanity: map not constant
+    assert ig.std() > 0
+
+
+def test_grad_cam(setup):
+    model, params, img, ids, mask = setup
+    eng = ExplanationEngine(model, params, image_hw=(28, 28))
+    cam = eng.grad_cam(img, ids, mask, target=1)
+    assert cam.shape == (2, 28, 28)
+    assert np.isfinite(cam).all() and cam.min() >= 0
+
+
+def test_explain_orchestration(setup):
+    model, params, img, ids, mask = setup
+    eng = ExplanationEngine(model, params, image_hw=(28, 28))
+    out = eng.explain(img, ids, mask, targets=[0, 2], ig_steps=4)
+    assert set(out["per_target"]) == {0, 2}
+    assert "ig" in out["per_target"][0] and "grad_cam" in out["per_target"][0]
+
+
+def test_compare_maps_metrics(rng):
+    a = rng.random((14, 14))
+    same = compare_maps(a, a.copy())
+    assert abs(same["pearson"] - 1.0) < 1e-9
+    assert abs(same["spearman"] - 1.0) < 1e-9
+    assert same["iou@5%"] == 1.0
+    b = rng.random((14, 14))
+    diff = compare_maps(a, b)
+    assert diff["pearson"] < 0.9
+    const = compare_maps(a, np.ones_like(a))
+    assert np.isnan(const["pearson"])
+
+
+def test_predictor_end_to_end(setup, rng):
+    model, params, img, ids, mask = setup
+    labels = [f"c{i}" for i in range(8)]
+    gallery = rng.standard_normal((30, 16)).astype(np.float32)
+    gids = [f"g{i}" for i in range(30)]
+    retriever = RetrievalEngine(gallery, gids)
+    labels_by_id = {g: (rng.random(8) < 0.3).astype(int) for g in gids}
+    rr = Reranker(labels_by_id=labels_by_id)
+    pred = MMRPredictor(model, params, labels, retriever, rr, threshold=0.5)
+
+    emb = pred.embed(img, ids, mask)
+    assert emb["joint_emb"].shape == (2, 16)
+    assert emb["probs"].shape == (2, 8)
+
+    res = pred.predict(img, ids, mask, K=5, explain=False)
+    assert len(res["top_labels"][0]) == 5
+    assert len(res["retrieval"]) == 2
+    assert len(res["retrieval"][0]) == 5
+    # reranked hits come from the gallery
+    assert all(h[0] in set(gids) for h in res["retrieval"][0])
+
+    res2 = pred.predict(img, ids, mask, K=3, explain=True, explain_targets=[0])
+    assert 0 in res2["explanation"]["per_target"]
