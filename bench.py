@@ -1,0 +1,143 @@
+"""Benchmark: image-text pairs embedded/sec/chip + retrieval p50 latency.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: joint-embedding throughput (pairs/sec/chip) of the flagship
+embed path — Swin-T vision encoder + ClinicalBERT-dims text encoder + 5-layer
+fusion at bf16, text length 64 (median OpenI report length; the reference
+pads to 512 but true reports are short). Baseline: the driver-set north star
+of 5,000 pairs/sec/chip (BASELINE.json). Secondary metrics (exact top-10
+retrieval p50 over a 100k-item gallery) are written to BENCH_DETAILS.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _build(batch: int, text_len: int, use_pallas: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
+    from mmrp_tpu.models.swin import SwinConfig
+    from mmrp_tpu.models.text_encoder import TextConfig
+
+    cfg = MultiModalConfig(
+        swin=SwinConfig.tiny(use_pallas=use_pallas),
+        text=TextConfig.clinicalbert(),
+        joint_dim=1024,
+        num_fusion_layers=5,
+        num_heads=8,
+        num_classes=43,
+        max_text_len=text_len,
+    )
+    model = MultiModalRetrievalModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((batch, 224, 224, 3), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (batch, text_len)).astype(np.int32))
+    mask = jnp.ones((batch, text_len), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), img[:1], ids[:1], mask[:1])
+
+    @jax.jit
+    def embed(params, img, ids, mask):
+        out = model.apply(params, img, ids, mask)
+        return out["joint_emb"], out["logits"]
+
+    return embed, params, img, ids, mask
+
+
+def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int = 20):
+    import jax
+
+    embed, params, img, ids, mask = _build(batch, text_len, use_pallas)
+    # warmup + compile
+    out = embed(params, img, ids, mask)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = embed(params, img, ids, mask)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_retrieval_p50(n_gallery: int = 100_000, dim: int = 1024, k: int = 10,
+                        n_queries: int = 50):
+    import jax
+    import jax.numpy as jnp
+
+    from mmrp_tpu.retrieval.gallery import topk_single
+
+    rng = np.random.default_rng(1)
+    g = rng.standard_normal((n_gallery, dim)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    g_dev = jax.device_put(g)
+    q = rng.standard_normal((n_queries, 1, dim)).astype(np.float32)
+    # warmup
+    jax.block_until_ready(topk_single(jnp.asarray(q[0]), g_dev, k))
+    times = []
+    for i in range(n_queries):
+        t0 = time.perf_counter()
+        s, idx = topk_single(jnp.asarray(q[i]), g_dev, k)
+        jax.block_until_ready((s, idx))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(times, 50))
+
+
+def main() -> None:
+    import jax
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    batch = 128 if on_tpu else 4
+    text_len = 64
+    iters = 20 if on_tpu else 2
+
+    details = {"backend": backend, "batch": batch, "text_len": text_len}
+    results = {}
+    for use_pallas in ((True, False) if on_tpu else (False,)):
+        try:
+            thr = bench_embed(batch, text_len, use_pallas, iters)
+            results["pallas" if use_pallas else "xla"] = thr
+        except Exception as e:  # noqa: BLE001 — record and continue
+            details[f"error_{'pallas' if use_pallas else 'xla'}"] = repr(e)
+    if not results:
+        print(json.dumps({"metric": "pairs_embedded_per_sec_per_chip",
+                          "value": 0.0, "unit": "pairs/s",
+                          "vs_baseline": 0.0}))
+        return
+    best_key = max(results, key=results.get)
+    throughput = results[best_key]
+    details["embed_throughput"] = results
+    details["best_attention_path"] = best_key
+
+    try:
+        n_gal = 100_000 if on_tpu else 2_000
+        details["retrieval_p50_ms_100k" if on_tpu else "retrieval_p50_ms_2k"] = (
+            bench_retrieval_p50(n_gallery=n_gal)
+        )
+    except Exception as e:  # noqa: BLE001
+        details["error_retrieval"] = repr(e)
+
+    with open("BENCH_DETAILS.json", "w") as fh:
+        json.dump(details, fh, indent=1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pairs_embedded_per_sec_per_chip(swin_t+clinbert_dims,L64,bf16)",
+                "value": round(throughput, 2),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(throughput / 5000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

