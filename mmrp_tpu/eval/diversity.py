@@ -1,0 +1,76 @@
+"""Retrieval diversity analysis.
+
+Parity with the reference diversity computer (reference:
+src/Evaluate/retrieval_diversity_compute.py:169-193): per-query embedding
+diversity = 1 - mean pairwise cosine of the retrieved set, plus label
+diversity = mean pairwise label distance; aggregated per gallery and
+flattened to CSV summaries.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+
+def embedding_diversity(embs: np.ndarray) -> float:
+    """1 - mean pairwise cosine over retrieved items (>=2 items)."""
+    if embs.shape[0] < 2:
+        return 0.0
+    n = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-8)
+    sim = n @ n.T
+    iu = np.triu_indices(len(n), k=1)
+    return float(1.0 - sim[iu].mean())
+
+
+def label_diversity(labels: np.ndarray) -> float:
+    """Mean pairwise (1 - Jaccard) over retrieved items' label sets."""
+    if labels.shape[0] < 2:
+        return 0.0
+    L = labels.astype(bool)
+    inter = (L[:, None, :] & L[None, :, :]).sum(-1)
+    union = (L[:, None, :] | L[None, :, :]).sum(-1)
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    iu = np.triu_indices(len(L), k=1)
+    return float(1.0 - jac[iu].mean())
+
+
+def diversity_report(
+    engine,
+    query_embs: np.ndarray,
+    query_ids: Sequence[str],
+    labels_by_id: Mapping[str, np.ndarray],
+    k: int = 10,
+    out_csv: Optional[str] = None,
+) -> Dict[str, float]:
+    rows: List[dict] = []
+    for i, qid in enumerate(query_ids):
+        hits = engine.retrieve(query_embs[i], K=k, query_id=qid)
+        ids = [h[0] for h in hits]
+        embs = engine.get_embeddings_for_ids(ids)
+        lbl = np.stack(
+            [labels_by_id.get(r, np.zeros_like(next(iter(labels_by_id.values()))))
+             for r in ids]
+        ) if ids and labels_by_id else np.zeros((0, 1))
+        rows.append(
+            {
+                "query_id": qid,
+                "emb_diversity": embedding_diversity(embs),
+                "label_diversity": label_diversity(lbl),
+            }
+        )
+    summary = {
+        "mean_emb_diversity": float(np.mean([r["emb_diversity"] for r in rows])),
+        "mean_label_diversity": float(np.mean([r["label_diversity"] for r in rows])),
+        "n_queries": len(rows),
+    }
+    if out_csv:
+        Path(out_csv).parent.mkdir(parents=True, exist_ok=True)
+        with open(out_csv, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=["query_id", "emb_diversity", "label_diversity"])
+            w.writeheader()
+            w.writerows(rows)
+    return summary

