@@ -374,6 +374,7 @@ class DICOMImagePreprocessor:
     default_window_center: float = 40.0
     default_window_width: float = 400.0
     output_size: Tuple[int, int] = (224, 224)
+    use_native: bool = True  # C++ fast path when native/libmmrp_io.so exists
 
     def __post_init__(self) -> None:
         self.mean3 = np.asarray(
@@ -388,6 +389,27 @@ class DICOMImagePreprocessor:
             raise ValueError("mean/std must be scalar or length-3")
 
     def load(self, src) -> np.ndarray:
+        if self.use_native and float(self.mean3.std()) == 0 and float(self.std3.std()) == 0:
+            from mmrp_tpu.data import native
+
+            if native.available():
+                blob = (
+                    bytes(src)
+                    if isinstance(src, (bytes, bytearray))
+                    else Path(src).read_bytes()
+                )
+                try:
+                    gray = native.preprocess(
+                        blob,
+                        out_hw=self.output_size,
+                        mean=float(self.mean3[0]),
+                        std=float(self.std3[0]),
+                        default_wc=self.default_window_center,
+                        default_ww=self.default_window_width,
+                    )
+                    return np.repeat(gray[None, :, :], 3, axis=0)
+                except ValueError:
+                    pass  # unsupported file -> python path below
         dcm = read_dicom(src)
         wc = dcm.window_center if dcm.window_center is not None else self.default_window_center
         ww = dcm.window_width if dcm.window_width is not None else self.default_window_width
