@@ -14,6 +14,7 @@ retrieval p50 over a 100k-item gallery) are written to BENCH_DETAILS.json.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -120,18 +121,20 @@ def main() -> None:
     on_tpu = backend == "tpu"
     batch = 128 if on_tpu else 4
     text_len = 64
-    iters = 20 if on_tpu else 2
+    iters = 10 if on_tpu else 2
 
     details = {"backend": backend, "batch": batch, "text_len": text_len}
     results = {}
-    for use_pallas in ((True, False) if on_tpu else (False,)):
-        key = "pallas" if use_pallas else "xla"
-        try:
-            thr, mxu_frac = bench_embed(batch, text_len, use_pallas, iters)
-            results[key] = thr
-            details[f"mxu_frac_{key}"] = mxu_frac
-        except Exception as e:  # noqa: BLE001 — record and continue
-            details[f"error_{key}"] = repr(e)
+    # one attention path per run — each model compile costs minutes through
+    # the remote-compile tunnel; BENCH_PALLAS=1 switches to the Pallas kernel
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    key = "pallas" if use_pallas else "xla"
+    try:
+        thr, mxu_frac = bench_embed(batch, text_len, use_pallas, iters)
+        results[key] = thr
+        details[f"mxu_frac_{key}"] = mxu_frac
+    except Exception as e:  # noqa: BLE001 — record and continue
+        details[f"error_{key}"] = repr(e)
     if not results:
         print(json.dumps({"metric": "pairs_embedded_per_sec_per_chip",
                           "value": 0.0, "unit": "pairs/s",

@@ -1,0 +1,172 @@
+"""Command-line entry points.
+
+The reference's entry scripts (reference: src/data_run.py,
+src/Trainner/train.py, src/Evaluate/*.py, src/web/app.py) hardcode paths
+and read one YAML (SURVEY §5.6). Here a single ``python -m mmrp_tpu.cli``
+exposes them as subcommands with explicit flags:
+
+    data        parse + label + verify + split (data_run.py:31-62)
+    train       staged training: swin finetune -> KG -> joint (train.py:209)
+    eval-cls    classification eval on a split (eval_on_test.py)
+    eval-ret    dual-gallery retrieval eval (retrieval_eval.py)
+    kg-probe    KG embedding health checks (kg_check/diagnose/probe)
+    serve       web demo (web/app.py)
+    bench       run the benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--out", default="runs/default", help="output directory")
+
+
+def cmd_data(args) -> int:
+    from mmrp_tpu.data.openi import parse_openi_xml
+    from mmrp_tpu.data.splits import train_val_test_split
+    from mmrp_tpu.data.verify import LabelVerifier, apply_verdicts
+    from mmrp_tpu.eval.eda import drop_zero_label_records, eda_before_split
+    from mmrp_tpu.labels import LABEL_COLS
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    records = parse_openi_xml(
+        args.xml_dir, args.dicom_dir, cache_path=str(out / "records_cache.json")
+    )
+    print(f"[data] parsed {len(records)} records")
+    verifier = LabelVerifier(cache_path=str(out / "verify_cache.json"))
+    records = apply_verdicts(records, verifier.verify(records))
+    eda_before_split(records, LABEL_COLS, str(out / "eda_before_split.json"))
+    records = drop_zero_label_records(records)
+    splits = train_val_test_split(records, seed=args.seed, out_dir=str(out / "splits"))
+    print(f"[data] splits: { {k: len(v) for k, v in splits.items()} }")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from mmrp_tpu.config import Config
+    from mmrp_tpu.train.runner import run_training_pipeline
+
+    cfg = Config.load(args.config) if args.config else Config()
+    run_training_pipeline(cfg, data_dir=args.data, out_dir=args.out)
+    return 0
+
+
+def cmd_eval_cls(args) -> int:
+    import numpy as np
+
+    from mmrp_tpu.eval.classification import evaluate_classification
+    from mmrp_tpu.labels import LABEL_COLS
+
+    probs = np.load(args.probs)
+    labels = np.load(args.labels)
+    th = np.load(args.thresholds) if args.thresholds else None
+    rep = evaluate_classification(probs, labels, LABEL_COLS, th, args.out)
+    print(json.dumps({k: v for k, v in rep.items() if k != "per_class"}, indent=1))
+    return 0
+
+
+def cmd_eval_ret(args) -> int:
+    import numpy as np
+
+    from mmrp_tpu.eval.gt import build_label_overlap_gt
+    from mmrp_tpu.eval.retrieval_eval import dual_gallery_eval
+    from mmrp_tpu.retrieval.gallery import RetrievalEngine
+
+    test_eng = RetrievalEngine.from_files(args.test_emb, args.test_ids)
+    train_eng = RetrievalEngine.from_files(args.train_emb, args.train_ids)
+    q_embs = test_eng.raw_embeddings
+    q_ids = test_eng.ids
+    gt_test = json.loads(Path(args.gt_test).read_text())
+    gt_train = json.loads(Path(args.gt_train).read_text())
+    res = dual_gallery_eval(
+        test_eng, train_eng, q_embs, q_ids, gt_test, gt_train,
+        k=args.k, out_dir=args.out,
+    )
+    print(json.dumps(res, indent=1))
+    return 0
+
+
+def cmd_kg_probe(args) -> int:
+    from mmrp_tpu.eval.kg_probe import full_probe
+    from mmrp_tpu.labels import LABEL_COLS
+
+    rep = full_probe(args.kg_dir, LABEL_COLS, out_path=args.out_file)
+    print(json.dumps(rep["health"], indent=1))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from mmrp_tpu.serve.runner import build_demo_context
+    from mmrp_tpu.serve.app import serve
+
+    serve(lambda: build_demo_context(args.run_dir), port=args.port)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="mmrp_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("data", help="run the data pipeline")
+    p.add_argument("--xml-dir", required=True)
+    p.add_argument("--dicom-dir", required=True)
+    p.add_argument("--seed", type=int, default=2709)
+    _add_common(p)
+    p.set_defaults(fn=cmd_data)
+
+    p = sub.add_parser("train", help="staged training pipeline")
+    p.add_argument("--data", required=True, help="data pipeline output dir")
+    _add_common(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval-cls", help="classification eval")
+    p.add_argument("--probs", required=True)
+    p.add_argument("--labels", required=True)
+    p.add_argument("--thresholds", default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_eval_cls)
+
+    p = sub.add_parser("eval-ret", help="retrieval eval (dual gallery)")
+    p.add_argument("--test-emb", required=True)
+    p.add_argument("--test-ids", required=True)
+    p.add_argument("--train-emb", required=True)
+    p.add_argument("--train-ids", required=True)
+    p.add_argument("--gt-test", required=True)
+    p.add_argument("--gt-train", required=True)
+    p.add_argument("-k", type=int, default=10)
+    _add_common(p)
+    p.set_defaults(fn=cmd_eval_ret)
+
+    p = sub.add_parser("kg-probe", help="KG embedding health checks")
+    p.add_argument("--kg-dir", required=True)
+    p.add_argument("--out-file", default=None)
+    p.set_defaults(fn=cmd_kg_probe)
+
+    p = sub.add_parser("serve", help="web demo")
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("bench", help="benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

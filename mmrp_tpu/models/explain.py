@@ -46,10 +46,10 @@ def patch_vector_to_map(
 class ExplanationEngine:
     """Wraps (model, params). All heavy paths are jitted once per shape."""
 
-    def __init__(self, model, params, image_hw: Tuple[int, int] = (224, 224)):
+    def __init__(self, model, params, image_hw: Optional[Tuple[int, int]] = None):
         self.model = model
         self.params = params
-        self.image_hw = image_hw
+        self.image_hw = image_hw  # None -> use each input image's own H, W
 
         def fwd(params, image, ids, mask):
             return model.apply(
@@ -59,7 +59,10 @@ class ExplanationEngine:
 
         self._fwd = jax.jit(fwd)
         self._ig = {}
-        self._gradcam = None
+        self._gradcam = {}
+
+    def _hw(self, image) -> Tuple[int, int]:
+        return tuple(self.image_hw) if self.image_hw else tuple(image.shape[1:3])
 
     # -- attention maps (explain.py:429-798) ---------------------------------
 
@@ -88,8 +91,9 @@ class ExplanationEngine:
         i2t = jnp.stack([a["img2txt"] for a in attn]).mean(axis=(0, 2))  # (B, Np, Lt)
         i2t = (i2t * w[:, None, : i2t.shape[-1]]).sum(-1)  # (B, Np)
 
-        primary = patch_vector_to_map(t2i, grid, self.image_hw)
-        secondary = patch_vector_to_map(i2t, grid, self.image_hw)
+        out_hw = self._hw(image)
+        primary = patch_vector_to_map(t2i, grid, out_hw)
+        secondary = patch_vector_to_map(i2t, grid, out_hw)
         final = _normalize01(0.6 * primary + 0.4 * secondary)  # explain.py:885-923
 
         # token-level attention (for the web demo's token HTML)
@@ -153,7 +157,10 @@ class ExplanationEngine:
         attention_mask: np.ndarray,
         target: int,
     ) -> np.ndarray:
-        if self._gradcam is None:
+        out_hw = self._hw(image)
+        if not isinstance(self._gradcam, dict):
+            self._gradcam = {}
+        if out_hw not in self._gradcam:
 
             @jax.jit
             def cam_fn(params, image, ids, mask, target_idx):
@@ -174,10 +181,10 @@ class ExplanationEngine:
                 weights = grads.mean(axis=1, keepdims=True)  # (B, 1, D)
                 cam = jax.nn.relu((weights * acts).sum(-1))  # (B, Np)
                 grid = int(round(cam.shape[-1] ** 0.5))
-                return patch_vector_to_map(cam, grid, self.image_hw)
+                return patch_vector_to_map(cam, grid, out_hw)
 
-            self._gradcam = cam_fn
-        out = self._gradcam(
+            self._gradcam[out_hw] = cam_fn
+        out = self._gradcam[out_hw](
             self.params, jnp.asarray(image), jnp.asarray(input_ids),
             jnp.asarray(attention_mask), target,
         )

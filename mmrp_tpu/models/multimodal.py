@@ -59,7 +59,14 @@ class MultiModalConfig:
             use_pallas=cfg.use_pallas_attention,
             img_size=cfg.image_size,
         )
-        text = TextConfig.clinicalbert() if flagship else TextConfig.small()
+        if flagship:
+            text = TextConfig.clinicalbert()
+        elif "micro" in cfg.image_backbone:
+            text = TextConfig.small(
+                hidden_dim=32, num_layers=1, num_heads=2, intermediate_dim=64
+            )
+        else:
+            text = TextConfig.small()
         return MultiModalConfig(
             swin=swin,
             text=text,

@@ -1,0 +1,204 @@
+"""Pretrained weight porting: HF BERT/ClinicalBERT + Swin -> Flax modules.
+
+The reference downloads timm/HF checkpoints at runtime (reference:
+src/Helpers/model_utils.py:11-55, swinDownload.py:42-100, fusion.py:92-171)
+— SURVEY hard-part #1 is loading those weights into the TPU-native modules
+so parity metrics don't require retraining. These converters map a torch
+``state_dict`` (from transformers.BertModel / transformers.SwinModel, same
+tensor layout as Bio_ClinicalBERT and microsoft/swin-* checkpoints) into
+the parameter pytrees of mmrp_tpu.models.text_encoder.TextEncoder and
+mmrp_tpu.models.swin.SwinEncoder.
+
+Layout notes (verified output-for-output in tests/test_port.py):
+- torch Linear stores (out, in); Flax Dense kernels are (in, out);
+- flax MultiHeadDotProductAttention splits heads in its kernels
+  ((in, heads, head_dim) / (heads, head_dim, out));
+- our Swin fuses q/k/v into one Dense — the converter concatenates;
+- our PatchMerging concatenates 2x2 neighbors in row-major order
+  [x(0,0), x(0,1), x(1,0), x(1,1)] while HF orders them
+  [x(0,0), x(1,0), x(0,1), x(1,1)] — the reduction kernel's input groups
+  are permuted accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _t(w) -> np.ndarray:
+    return np.asarray(w).T
+
+
+def _as_np(state: Mapping) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BERT
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_bert(state_dict: Mapping, num_layers: int, num_heads: int) -> Dict:
+    """HF BertModel state_dict -> TextEncoder params['params'] subtree."""
+    sd = _as_np(state_dict)
+    pfx = "bert." if any(k.startswith("bert.") for k in sd) else ""
+    D = sd[f"{pfx}embeddings.word_embeddings.weight"].shape[1]
+    hd = D // num_heads
+
+    def attn_in(name):  # (D, D) torch -> (D, heads, hd) flax
+        k = _t(sd[f"{name}.weight"]).reshape(D, num_heads, hd)
+        b = sd[f"{name}.bias"].reshape(num_heads, hd)
+        return {"kernel": k, "bias": b}
+
+    params: Dict = {
+        "embeddings": {
+            "word": {"embedding": sd[f"{pfx}embeddings.word_embeddings.weight"]},
+            "position": {"embedding": sd[f"{pfx}embeddings.position_embeddings.weight"]},
+            "token_type": {"embedding": sd[f"{pfx}embeddings.token_type_embeddings.weight"]},
+            "LayerNorm_0": {
+                "scale": sd[f"{pfx}embeddings.LayerNorm.weight"],
+                "bias": sd[f"{pfx}embeddings.LayerNorm.bias"],
+            },
+        }
+    }
+    for i in range(num_layers):
+        lp = f"{pfx}encoder.layer.{i}"
+        out_k = _t(sd[f"{lp}.attention.output.dense.weight"]).reshape(num_heads, hd, D)
+        params[f"layer{i}"] = {
+            "attention": {
+                "query": attn_in(f"{lp}.attention.self.query"),
+                "key": attn_in(f"{lp}.attention.self.key"),
+                "value": attn_in(f"{lp}.attention.self.value"),
+                "out": {
+                    "kernel": out_k,
+                    "bias": sd[f"{lp}.attention.output.dense.bias"],
+                },
+            },
+            "attn_norm": {
+                "scale": sd[f"{lp}.attention.output.LayerNorm.weight"],
+                "bias": sd[f"{lp}.attention.output.LayerNorm.bias"],
+            },
+            "ffn_in": {
+                "kernel": _t(sd[f"{lp}.intermediate.dense.weight"]),
+                "bias": sd[f"{lp}.intermediate.dense.bias"],
+            },
+            "ffn_out": {
+                "kernel": _t(sd[f"{lp}.output.dense.weight"]),
+                "bias": sd[f"{lp}.output.dense.bias"],
+            },
+            "ffn_norm": {
+                "scale": sd[f"{lp}.output.LayerNorm.weight"],
+                "bias": sd[f"{lp}.output.LayerNorm.bias"],
+            },
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Swin
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_swin(state_dict: Mapping, depths, num_heads) -> Dict:
+    """HF SwinModel state_dict -> SwinEncoder params['params'] subtree."""
+    sd = _as_np(state_dict)
+    pfx = "swin." if any(k.startswith("swin.") for k in sd) else ""
+
+    params: Dict = {
+        "patch_embed": {
+            "proj": {
+                # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
+                "kernel": np.transpose(
+                    sd[f"{pfx}embeddings.patch_embeddings.projection.weight"],
+                    (2, 3, 1, 0),
+                ),
+                "bias": sd[f"{pfx}embeddings.patch_embeddings.projection.bias"],
+            },
+            "LayerNorm_0": {
+                "scale": sd[f"{pfx}embeddings.norm.weight"],
+                "bias": sd[f"{pfx}embeddings.norm.bias"],
+            },
+        },
+        "norm": {
+            "scale": sd[f"{pfx}layernorm.weight"],
+            "bias": sd[f"{pfx}layernorm.bias"],
+        },
+    }
+
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            lp = f"{pfx}encoder.layers.{s}.blocks.{b}"
+            h = num_heads[s]
+            dim = sd[f"{lp}.attention.self.query.weight"].shape[0]
+            hd = dim // h
+            q = _t(sd[f"{lp}.attention.self.query.weight"])
+            k = _t(sd[f"{lp}.attention.self.key.weight"])
+            v = _t(sd[f"{lp}.attention.self.value.weight"])
+            qb = sd[f"{lp}.attention.self.query.bias"]
+            kb = sd[f"{lp}.attention.self.key.bias"]
+            vb = sd[f"{lp}.attention.self.value.bias"]
+            params[f"stage{s}_block{b}"] = {
+                "LayerNorm_0": {
+                    "scale": sd[f"{lp}.layernorm_before.weight"],
+                    "bias": sd[f"{lp}.layernorm_before.bias"],
+                },
+                "attn": {
+                    "rel_bias_table": sd[
+                        f"{lp}.attention.self.relative_position_bias_table"
+                    ],
+                    "qkv": {
+                        "kernel": np.concatenate([q, k, v], axis=1),
+                        "bias": np.concatenate([qb, kb, vb]),
+                    },
+                    "proj": {
+                        "kernel": _t(sd[f"{lp}.attention.output.dense.weight"]),
+                        "bias": sd[f"{lp}.attention.output.dense.bias"],
+                    },
+                },
+                "LayerNorm_1": {
+                    "scale": sd[f"{lp}.layernorm_after.weight"],
+                    "bias": sd[f"{lp}.layernorm_after.bias"],
+                },
+                "mlp": {
+                    "Dense_0": {
+                        "kernel": _t(sd[f"{lp}.intermediate.dense.weight"]),
+                        "bias": sd[f"{lp}.intermediate.dense.bias"],
+                    },
+                    "Dense_1": {
+                        "kernel": _t(sd[f"{lp}.output.dense.weight"]),
+                        "bias": sd[f"{lp}.output.dense.bias"],
+                    },
+                },
+            }
+        dkey = f"{pfx}encoder.layers.{s}.downsample"
+        if f"{dkey}.reduction.weight" in sd:
+            red = _t(sd[f"{dkey}.reduction.weight"])  # (4C, 2C) in flax layout
+            C = red.shape[0] // 4
+            # HF neighbor order [x00, x10, x01, x11] -> ours [x00, x01, x10, x11]
+            perm = np.concatenate(
+                [np.arange(0, C), np.arange(2 * C, 3 * C),
+                 np.arange(C, 2 * C), np.arange(3 * C, 4 * C)]
+            )
+            nscale = sd[f"{dkey}.norm.weight"][perm]
+            nbias = sd[f"{dkey}.norm.bias"][perm]
+            params[f"merge{s}"] = {
+                "LayerNorm_0": {"scale": nscale, "bias": nbias},
+                "Dense_0": {"kernel": red[perm]},
+            }
+    return params
+
+
+def load_hf_bert_into(text_params: Dict, hf_state: Mapping, num_layers: int,
+                      num_heads: int) -> Dict:
+    """Replace a TextEncoder param subtree with converted HF weights,
+    keeping any extra entries (e.g. when vocab sizes match exactly this is
+    a full replacement)."""
+    converted = convert_hf_bert(hf_state, num_layers, num_heads)
+    merged = dict(text_params)
+    merged.update(converted)
+    return merged

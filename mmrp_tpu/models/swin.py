@@ -65,6 +65,12 @@ class SwinConfig:
         return SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), **kw)
 
     @staticmethod
+    def micro(**kw) -> "SwinConfig":
+        """Smoke-test scale: one 7x7-window stage."""
+        kw.setdefault("img_size", 28)
+        return SwinConfig(embed_dim=16, depths=(1,), num_heads=(2,), **kw)
+
+    @staticmethod
     def from_name(name: str, **kw) -> "SwinConfig":
         name = name.lower()
         if name in ("swin", "swin_base", "base"):
@@ -73,6 +79,8 @@ class SwinConfig:
             return SwinConfig.small(**kw)
         if name in ("swin_tiny", "tiny"):
             return SwinConfig.tiny(**kw)
+        if name in ("swin_micro", "micro"):
+            return SwinConfig.micro(**kw)
         raise ValueError(f"unknown swin preset {name!r}")
 
 

@@ -170,7 +170,7 @@ class RetrievalEngine:
             q_dev = jax.device_put(q, NamedSharding(self.mesh, P()))
             s, i = self._sharded_topk_cache[kk](q_dev, g)
         else:
-            s, i = topk_single(jnp.asarray(q), g)
+            s, i = topk_single(jnp.asarray(q), g, kk)
         s, i = np.asarray(s), np.asarray(i)
         # padding rows (zero vectors) score 0; with k <= N they only appear
         # when the gallery is tiny — mask them to -inf and drop via re-sort

@@ -1,0 +1,83 @@
+"""Demo-context builder: wire a trained run directory into MMRPredictor.
+
+Equivalent of the reference's init_heavy_resources (reference:
+src/web/app.py:99-142): loads tokenizer, model checkpoint, train-gallery
+retrieval engine, reranker inputs, and the DICOM preprocessor.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict
+
+import numpy as np
+
+
+def build_demo_context(run_dir: str) -> Dict[str, Any]:
+    import jax
+
+    from mmrp_tpu.api import MMRPredictor
+    from mmrp_tpu.config import Config
+    from mmrp_tpu.data.dicom import DICOMImagePreprocessor
+    from mmrp_tpu.data.tokenizer import WordPieceTokenizer
+    from mmrp_tpu.labels import LABEL_COLS
+    from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
+    from mmrp_tpu.retrieval.gallery import RetrievalEngine
+    from mmrp_tpu.retrieval.rerank import Reranker
+    from mmrp_tpu.utils.checkpoint import CheckpointManager
+
+    run = Path(run_dir)
+    cfg_path = run / "config.yaml"
+    cfg = Config.load(str(cfg_path)) if cfg_path.exists() else Config()
+
+    tok = WordPieceTokenizer.from_vocab_file(str(run / "vocab.txt"))
+    mm_cfg = MultiModalConfig.from_config(cfg, num_classes=len(LABEL_COLS))
+    model = MultiModalRetrievalModel(mm_cfg)
+
+    # parameter template for orbax restore
+    import jax.numpy as jnp
+
+    dummy = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+        jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+    )["params"]
+    mgr = CheckpointManager(str(run / "joint" / "ckpt"))
+    try:
+        params = {"model": mgr.restore_best({"model": dummy})["model"]}
+    except (FileNotFoundError, ValueError, KeyError):
+        params = {"model": dummy}  # fresh weights — demo still functions
+
+    retriever = None
+    reranker = None
+    emb_p, ids_p = run / "train_embeddings.npy", run / "train_ids.json"
+    if emb_p.exists() and ids_p.exists():
+        retriever = RetrievalEngine.from_files(str(emb_p), str(ids_p))
+        records_p = run.parent / "records_cache.json"
+        labels_by_id = {}
+        if records_p.exists():
+            recs = json.loads(records_p.read_text())["records"]
+            labels_by_id = {r["id"]: np.asarray(r["labels"]) for r in recs}
+        kg_dir = run / "kg"
+        kg_kwargs = {}
+        if (kg_dir / "node_embeddings.npy").exists():
+            kg_kwargs = dict(
+                kg_node_embeddings=np.load(kg_dir / "node_embeddings.npy"),
+                kg_node2id=json.loads((kg_dir / "node2id.json").read_text()),
+            )
+        reranker = Reranker(
+            alpha=cfg.rerank_alpha, beta=cfg.rerank_beta, gamma=cfg.rerank_gamma,
+            labels_by_id=labels_by_id, label_names=LABEL_COLS, **kg_kwargs,
+        )
+
+    predictor = MMRPredictor(model, params, LABEL_COLS, retriever, reranker)
+    return {
+        "predictor": predictor,
+        "tokenizer": tok,
+        "preprocessor": DICOMImagePreprocessor(
+            output_size=(cfg.image_size, cfg.image_size)
+        ),
+        "max_length": min(cfg.text_dim, 512),
+    }

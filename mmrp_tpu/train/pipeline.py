@@ -139,6 +139,11 @@ def run_joint_training(
                 break
 
     (out / "best_multimodal_metrics.json").write_text(json.dumps(best, indent=1))
+    # persist the best model params for serving/eval reload (orbax)
+    from mmrp_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(out / "ckpt"))
+    mgr.update_best(best["composite"], {"model": best_state.params["model"]}, best)
     return JointTrainResult(
         state=best_state,
         thresholds=np.load(out / "thresholds.npy"),

@@ -1,0 +1,114 @@
+"""Full-pipeline smoke test on a synthetic OpenI fixture: data CLI ->
+staged training runner (KG + joint) -> retrieval eval -> serving context ->
+HTTP round trip. This is the framework's equivalent of running the
+reference's data_run.py + train.py + retrieval_eval.py + web app end to end.
+"""
+
+import base64
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mmrp_tpu.cli import main as cli_main
+from mmrp_tpu.config import Config
+from mmrp_tpu.data import dicom as D
+from mmrp_tpu.labels import LABEL_COLS
+
+TEXTS = [
+    "Cardiomegaly with small left pleural effusion.",
+    "No acute disease. Clear lungs.",
+    "Right lower lobe pneumonia with consolidation.",
+    "Degenerative change of the thoracic spine.",
+    "Stable cardiomegaly. No pneumothorax.",
+    "Atelectasis at the left base with volume loss.",
+    "Hyperinflation consistent with emphysema.",
+    "Normal chest. No effusion or pneumothorax.",
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    root = tmp_path_factory.mktemp("openi")
+    xml_dir = root / "xml"
+    dcm_dir = root / "dcm"
+    xml_dir.mkdir()
+    dcm_dir.mkdir()
+    for i, base_text in enumerate(TEXTS * 3):  # 24 records, unique texts
+        text = f"{base_text} Study number {i + 1}."
+        rid = f"{i + 1}"
+        (xml_dir / f"{rid}.xml").write_text(
+            f"""<eCitation><ArticleTitle>r{rid}</ArticleTitle>
+<Abstract><AbstractText>{text}</AbstractText></Abstract>
+<parentImage id="CXR{rid}_IM-0001-1001"/></eCitation>"""
+        )
+        arr = (rng.random((40, 40)) * 2000).astype(np.uint16)
+        D.write_dicom(dcm_dir / f"{rid}_IM-0001-1001.dcm", arr,
+                      window_center=1000, window_width=2000)
+    return str(xml_dir), str(dcm_dir), root
+
+
+def test_data_cli_and_training_pipeline(fixture_dirs, tmp_path_factory):
+    xml_dir, dcm_dir, _ = fixture_dirs
+    out = tmp_path_factory.mktemp("run")
+
+    rc = cli_main([
+        "data", "--xml-dir", xml_dir, "--dicom-dir", dcm_dir,
+        "--out", str(out), "--seed", "5",
+    ])
+    assert rc == 0
+    assert (out / "records_cache.json").exists()
+    assert (out / "splits" / "train_ids.json").exists()
+
+    from mmrp_tpu.train.runner import run_training_pipeline
+
+    cfg = Config(
+        image_backbone="swin_micro", image_size=28, joint_dim=32,
+        num_fusion_layers=1, num_heads=2, text_dim=16, batch_size=4,
+        epochs=2, patience=3, kg_epochs=2, kg_emb_dim=16, kg_neg_size=4,
+        lr=1e-3, use_pallas_attention=False,
+    )
+    summary = run_training_pipeline(cfg, data_dir=str(out), out_dir=str(out / "train"))
+    assert "joint" in summary and "retrieval" in summary
+    assert np.isfinite(summary["joint"]["composite"])
+    gen = summary["retrieval"]["generalization"]
+    assert "P@10" in gen and "p50_ms" in gen
+    # artifacts for serving
+    assert (out / "train" / "test_embeddings.npy").exists()
+    assert (out / "train" / "vocab.txt").exists()
+    assert (out / "train" / "kg" / "node_embeddings.npy").exists()
+
+    # ---- serving round trip over HTTP -------------------------------------
+    from mmrp_tpu.serve.app import serve
+    from mmrp_tpu.serve.runner import build_demo_context
+
+    server = serve(lambda: build_demo_context(str(out / "train")), port=0, block=False)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        rng = np.random.default_rng(3)
+        arr = (rng.random((40, 40)) * 2000).astype(np.uint16)
+        blob = D.write_dicom(None, arr, window_center=1000, window_width=2000)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/predict",
+            data=json.dumps({
+                "dicom_b64": base64.b64encode(blob).decode(),
+                "text": "cardiomegaly with effusion",
+                "threshold": 0.5,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.loads(r.read())
+        assert "top_labels" in payload
+        assert len(payload["top_labels"]) == 5
+        names = [t[0] for t in payload["top_labels"]]
+        assert all(n in LABEL_COLS for n in names)
+        assert "retrieval" in payload and len(payload["retrieval"]) > 0
+        assert "agreement" in payload
+    finally:
+        server.shutdown()
