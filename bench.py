@@ -1,4 +1,4 @@
-"""Benchmark: image-text pairs embedded/sec/chip + retrieval p50 latency.
+"""Benchmark: image-text pairs embedded/sec/chip + retrieval latency.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -7,8 +7,16 @@ Primary metric: joint-embedding throughput (pairs/sec/chip) of the flagship
 embed path — Swin-T vision encoder + ClinicalBERT-dims text encoder + 5-layer
 fusion at bf16, text length 64 (median OpenI report length; the reference
 pads to 512 but true reports are short). Baseline: the driver-set north star
-of 5,000 pairs/sec/chip (BASELINE.json). Secondary metrics (exact top-10
-retrieval p50 over a 100k-item gallery) are written to BENCH_DETAILS.json.
+of 5,000 pairs/sec/chip (BASELINE.json).
+
+Timing methodology: the remote-execution tunnel used for this TPU neither
+honors block_until_ready nor re-executes deduplicated dispatches, so naive
+loops over-report by orders of magnitude (observed 51x chip peak). All
+timed loops here are **chained lax.scan programs** — iteration i+1's input
+depends on iteration i's output — finished by a single scalar fetch, so the
+measured wall time must contain `iters` sequential real executions.
+Secondary metrics (exact top-10 retrieval over a 100k-item gallery, per
+query, chained) land in BENCH_DETAILS.json.
 """
 
 from __future__ import annotations
@@ -20,8 +28,7 @@ import time
 import numpy as np
 
 
-def _build(batch: int, text_len: int, use_pallas: bool):
-    import jax
+def _build_model(use_pallas: bool, text_len: int):
     import jax.numpy as jnp
 
     from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
@@ -37,81 +44,72 @@ def _build(batch: int, text_len: int, use_pallas: bool):
         num_classes=43,
         max_text_len=text_len,
     )
-    model = MultiModalRetrievalModel(cfg, dtype=jnp.bfloat16)
+    return MultiModalRetrievalModel(cfg, dtype=jnp.bfloat16), cfg
+
+
+def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int):
+    """-> (pairs/sec, implied fraction of v5e bf16 peak)."""
+    import jax
+    import jax.numpy as jnp
+
+    model, cfg = _build_model(use_pallas, text_len)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((batch, 224, 224, 3), dtype=np.float32))
-    ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (batch, text_len)).astype(np.int32))
+    ids = jnp.asarray(
+        rng.integers(0, cfg.text.vocab_size, (batch, text_len)).astype(np.int32)
+    )
     mask = jnp.ones((batch, text_len), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), img[:1], ids[:1], mask[:1])
 
-    @jax.jit
-    def embed(params, img, ids, mask):
-        out = model.apply(params, img, ids, mask)
-        return out["joint_emb"], out["logits"]
+    def chained(params, img0, ids, mask):
+        def body(img_c, _):
+            out = model.apply(params, img_c, ids, mask)
+            # serialize: next input depends on this output (O(1) extra work)
+            img_next = img_c + out["joint_emb"].mean().astype(img_c.dtype) * 1e-12
+            return img_next, ()
 
-    return embed, params, img, ids, mask
+        final, _ = jax.lax.scan(body, img0, None, length=iters)
+        return final.mean()
 
-
-def _flops_per_pair(text_len: int) -> float:
-    """Rough bf16 FLOPs per image-text pair (Swin-T + BERT-base + 5x fusion)."""
-    swin = 4.5e9
-    bert = 2.0 * 85e6 * text_len / 64 * 64  # ~2*params*tokens
-    fusion = 3.0e9
-    return swin + bert + fusion
-
-
-def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int = 20):
-    """Per-iteration blocking over DISTINCT input batches — identical async
-    dispatches through the remote-execution tunnel get deduplicated and
-    under-time by orders of magnitude (observed 254k pairs/s ~ 40x chip
-    peak; see BENCH_DETAILS.json history)."""
-    import jax
-    import jax.numpy as jnp
-
-    embed, params, img, ids, mask = _build(batch, text_len, use_pallas)
-    variants = [
-        (img + 0.01 * i, jnp.roll(ids, i, axis=1)) for i in range(4)
-    ]
-    out = embed(params, img, ids, mask)  # compile
-    jax.block_until_ready(out)
-    for v_img, v_ids in variants[:2]:  # warmup
-        jax.block_until_ready(embed(params, v_img, v_ids, mask))
+    fn = jax.jit(chained)
+    _ = float(fn(params, img, ids, mask))  # compile + warmup (full chain)
     t0 = time.perf_counter()
-    for i in range(iters):
-        v_img, v_ids = variants[i % len(variants)]
-        out = embed(params, v_img, v_ids, mask)
-        jax.block_until_ready(out)
+    _ = float(fn(params, img, ids, mask))  # timed: scalar fetch forces all
     dt = time.perf_counter() - t0
     throughput = batch * iters / dt
-    # sanity: flag results that exceed the chip's physical ceiling
-    peak_flops = 197e12  # v5e bf16 peak
-    eff = throughput * _flops_per_pair(text_len)
-    return throughput, eff / peak_flops
+
+    flops_per_pair = 4.5e9 + 2.0 * 85e6 * text_len + 3.0e9  # swin-t + bert + fusion
+    return throughput, throughput * flops_per_pair / 197e12
 
 
-def bench_retrieval_p50(n_gallery: int = 100_000, dim: int = 1024, k: int = 10,
-                        n_queries: int = 50):
+def bench_retrieval(n_gallery: int, dim: int = 1024, k: int = 10, iters: int = 64):
+    """Chained per-query exact top-k -> ms/query on device."""
     import jax
     import jax.numpy as jnp
-
-    from mmrp_tpu.retrieval.gallery import topk_single
 
     rng = np.random.default_rng(1)
     g = rng.standard_normal((n_gallery, dim)).astype(np.float32)
     g /= np.linalg.norm(g, axis=1, keepdims=True)
     g_dev = jax.device_put(g)
-    q = rng.standard_normal((n_queries, 1, dim)).astype(np.float32)
-    # warmup
-    jax.block_until_ready(topk_single(jnp.asarray(q[0]), g_dev, k))
-    times = []
-    for i in range(n_queries):
-        t0 = time.perf_counter()
-        s, idx = topk_single(jnp.asarray(q[i]), g_dev, k)
-        # force full materialization on the host — block_until_ready alone
-        # can return early through the remote-execution tunnel
-        _ = float(np.asarray(s)[0, 0])
-        times.append((time.perf_counter() - t0) * 1e3)
-    return float(np.percentile(times, 50))
+    q0 = jnp.asarray(rng.standard_normal((1, dim)).astype(np.float32))
+
+    def chained(q0, g):
+        def body(q, _):
+            s, idx = jax.lax.top_k(
+                jnp.dot(q, g.T, preferred_element_type=jnp.float32), k
+            )
+            q_next = jnp.roll(q, 1, axis=1) + s.max() * 1e-12
+            return q_next, ()
+
+        final, _ = jax.lax.scan(body, q0, None, length=iters)
+        return final.mean()
+
+    fn = jax.jit(chained)
+    _ = float(fn(q0, g_dev))
+    t0 = time.perf_counter()
+    _ = float(fn(q0, g_dev))
+    dt = time.perf_counter() - t0
+    return dt / iters * 1e3
 
 
 def main() -> None:
@@ -121,35 +119,23 @@ def main() -> None:
     on_tpu = backend == "tpu"
     batch = 128 if on_tpu else 4
     text_len = 64
-    iters = 10 if on_tpu else 2
-
-    details = {"backend": backend, "batch": batch, "text_len": text_len}
-    results = {}
-    # one attention path per run — each model compile costs minutes through
-    # the remote-compile tunnel; BENCH_PALLAS=1 switches to the Pallas kernel
+    iters = 20 if on_tpu else 2
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     key = "pallas" if use_pallas else "xla"
+
+    details = {"backend": backend, "batch": batch, "text_len": text_len,
+               "attention_path": key, "method": "chained-scan, scalar fetch"}
+    throughput = 0.0
     try:
-        thr, mxu_frac = bench_embed(batch, text_len, use_pallas, iters)
-        results[key] = thr
-        details[f"mxu_frac_{key}"] = mxu_frac
+        throughput, mxu_frac = bench_embed(batch, text_len, use_pallas, iters)
+        details["embed_pairs_per_sec"] = throughput
+        details["implied_peak_frac"] = mxu_frac
     except Exception as e:  # noqa: BLE001 — record and continue
-        details[f"error_{key}"] = repr(e)
-    if not results:
-        print(json.dumps({"metric": "pairs_embedded_per_sec_per_chip",
-                          "value": 0.0, "unit": "pairs/s",
-                          "vs_baseline": 0.0}))
-        return
-    best_key = max(results, key=results.get)
-    throughput = results[best_key]
-    details["embed_throughput"] = results
-    details["best_attention_path"] = best_key
+        details["error_embed"] = repr(e)
 
     try:
         n_gal = 100_000 if on_tpu else 2_000
-        details["retrieval_p50_ms_100k" if on_tpu else "retrieval_p50_ms_2k"] = (
-            bench_retrieval_p50(n_gallery=n_gal)
-        )
+        details[f"retrieval_ms_per_query_{n_gal//1000}k"] = bench_retrieval(n_gal)
     except Exception as e:  # noqa: BLE001
         details["error_retrieval"] = repr(e)
 

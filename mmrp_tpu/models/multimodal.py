@@ -39,6 +39,7 @@ from mmrp_tpu.models.text_encoder import TextConfig, TextEncoder
 class MultiModalConfig:
     swin: SwinConfig
     text: TextConfig
+    vision_backbone: str = "swin"  # swin | resnet50 | vit/medclip (fusion.py:37-171)
     joint_dim: int = 1024
     num_fusion_layers: int = 5
     num_heads: int = 8
@@ -59,6 +60,15 @@ class MultiModalConfig:
             use_pallas=cfg.use_pallas_attention,
             img_size=cfg.image_size,
         )
+        backbone = cfg.image_backbone.lower()
+        if backbone.startswith("swin"):
+            vision_backbone = "swin"
+        elif backbone.startswith("resnet"):
+            vision_backbone = "resnet50"
+        elif backbone in ("medclip", "vit"):
+            vision_backbone = "medclip" if flagship else "vit"
+        else:
+            vision_backbone = "swin"
         if flagship:
             text = TextConfig.clinicalbert()
         elif "micro" in cfg.image_backbone:
@@ -70,6 +80,7 @@ class MultiModalConfig:
         return MultiModalConfig(
             swin=swin,
             text=text,
+            vision_backbone=vision_backbone,
             joint_dim=cfg.joint_dim,
             num_fusion_layers=cfg.num_fusion_layers,
             num_heads=cfg.num_heads,
@@ -90,7 +101,24 @@ class Backbones(nn.Module):
     @nn.compact
     def __call__(self, image, input_ids, attention_mask, deterministic=True):
         cfg = self.config
-        vis = SwinEncoder(cfg.swin, dtype=self.dtype, name="swin")(image, deterministic)
+        if cfg.vision_backbone in ("resnet50", "resnet"):
+            from mmrp_tpu.models.resnet import ResNetConfig, ResNetEncoder
+
+            vis = ResNetEncoder(ResNetConfig.resnet50(), dtype=self.dtype,
+                                name="resnet")(image, deterministic)
+        elif cfg.vision_backbone in ("vit", "medclip"):
+            from mmrp_tpu.models.vit import ViTConfig, ViTEncoder
+
+            vit_cfg = (ViTConfig.medclip(img_size=cfg.swin.img_size)
+                       if cfg.vision_backbone == "medclip"
+                       else ViTConfig.small(img_size=cfg.swin.img_size))
+            vis = ViTEncoder(vit_cfg, dtype=self.dtype, name="vit")(
+                image, deterministic
+            )
+        else:
+            vis = SwinEncoder(cfg.swin, dtype=self.dtype, name="swin")(
+                image, deterministic
+            )
         txt = TextEncoder(cfg.text, dtype=self.dtype, name="text")(
             input_ids, attention_mask, deterministic
         )

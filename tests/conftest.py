@@ -22,6 +22,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: repeat test runs skip XLA recompiles
+_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "mmrp_jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+try:  # CPU-backend executable caching is gated separately
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except (AttributeError, ValueError):
+    pass
+
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
