@@ -60,6 +60,12 @@ def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int):
     )
     mask = jnp.ones((batch, text_len), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), img[:1], ids[:1], mask[:1])
+    if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":
+        # serve-mode weights: bf16 params halve HBM weight traffic
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params,
+        )
 
     def chained(params, img0, ids, mask):
         def body(img_c, _):
@@ -117,8 +123,8 @@ def main() -> None:
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    batch = 128 if on_tpu else 4
-    text_len = 64
+    batch = int(os.environ.get("BENCH_BATCH", "256" if on_tpu else "4"))
+    text_len = int(os.environ.get("BENCH_TEXT_LEN", "64"))
     iters = 20 if on_tpu else 2
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     key = "pallas" if use_pallas else "xla"

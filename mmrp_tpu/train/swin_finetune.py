@@ -139,6 +139,49 @@ def pos_weight_ramp(base_pw: np.ndarray, epoch: int, ramp_epochs: int,
 
 
 # ---------------------------------------------------------------------------
+# Balanced finetune subset (finetune_swin.py:253-311)
+# ---------------------------------------------------------------------------
+
+
+def build_finetune_subset(
+    records,
+    max_per_label: int = 200,
+    min_per_label: int = 5,
+    max_retries: int = 3,
+    seed: int = 2709,
+):
+    """Balanced subset: cap each label's positives at ``max_per_label``;
+    retry with a relaxed cap when rare labels end up under-represented
+    (the reference's rebalance-retry loop)."""
+    rng = np.random.default_rng(seed)
+    labels = np.stack([np.asarray(r["labels"]) for r in records]).astype(bool)
+    n, C = labels.shape
+    for attempt in range(max_retries):
+        cap = max_per_label * (attempt + 1)
+        chosen = np.zeros(n, dtype=bool)
+        per_label = labels.sum(axis=0)
+        order = np.argsort(per_label)  # rarest labels pick first
+        counts = np.zeros(C, dtype=int)
+        for c in order:
+            holders = np.where(labels[:, c])[0]
+            rng.shuffle(holders)
+            for i in holders:
+                if counts[c] >= cap:
+                    break
+                if not chosen[i]:
+                    chosen[i] = True
+                counts = counts + 0  # counts updated below from chosen set
+                counts[c] = int((labels[chosen, c]).sum())
+        sub_counts = labels[chosen].sum(axis=0)
+        rare_ok = all(
+            sub_counts[c] >= min(min_per_label, per_label[c]) for c in range(C)
+        )
+        if rare_ok:
+            break
+    return [records[i] for i in np.where(chosen)[0]]
+
+
+# ---------------------------------------------------------------------------
 # LR range finder (finetune_swin.py:343-386)
 # ---------------------------------------------------------------------------
 
