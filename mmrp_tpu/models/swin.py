@@ -28,7 +28,10 @@ from flax import linen as nn
 from mmrp_tpu.models.layers import DropPath, Mlp
 from mmrp_tpu.ops.window_attention import (
     build_combined_bias,
+    build_rel_bias,
+    shift_attn_mask,
     window_attention,
+    window_attention_xla_direct,
     window_partition,
     window_reverse,
 )
@@ -131,28 +134,36 @@ class WindowAttention(nn.Module):
             ((2 * ws - 1) ** 2, self.num_heads),
             jnp.float32,
         )
-        bias2 = build_combined_bias(rel_table, ws, H, W, shift, n_pad)
 
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
 
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         win = window_partition(qkv, ws)  # (B, nW, N, 3C)
-        win = jnp.pad(win, ((0, 0), (0, 0), (0, n_pad - N), (0, 0)))
-        # -> (B, nW, N_pad, 3, h, d) -> head-major (B, h, nW, N_pad, d)
-        win = win.reshape(B, nW, n_pad, 3, self.num_heads, head_dim)
-        win = win.transpose(3, 0, 4, 1, 2, 5)  # (3, B, h, nW, N_pad, d)
-        q, k, v = win[0], win[1], win[2]
-        G = self.num_heads * nW
-        q = q.reshape(B, G, n_pad, head_dim)
-        k = k.reshape(B, G, n_pad, head_dim)
-        v = v.reshape(B, G, n_pad, head_dim)
 
-        out = window_attention(q, k, v, bias2, scale, use_pallas=self.use_pallas)
+        if self.use_pallas and jax.default_backend() == "tpu":
+            # padded head-major layout for the Pallas kernel
+            bias2 = build_combined_bias(rel_table, ws, H, W, shift, n_pad)
+            winp = jnp.pad(win, ((0, 0), (0, 0), (0, n_pad - N), (0, 0)))
+            winp = winp.reshape(B, nW, n_pad, 3, self.num_heads, head_dim)
+            winp = winp.transpose(3, 0, 4, 1, 2, 5)  # (3, B, h, nW, N_pad, d)
+            G = self.num_heads * nW
+            q = winp[0].reshape(B, G, n_pad, head_dim)
+            k = winp[1].reshape(B, G, n_pad, head_dim)
+            v = winp[2].reshape(B, G, n_pad, head_dim)
+            out = window_attention(q, k, v, bias2, scale, use_pallas=True)
+            out = out.reshape(B, self.num_heads, nW, n_pad, head_dim)
+            out = out.transpose(0, 2, 3, 1, 4).reshape(B, nW, n_pad, self.dim)
+            out = out[:, :, :N, :]
+        else:
+            # natural layout: no padding, no head-major relayout
+            rel = build_rel_bias(rel_table, ws)
+            smask = (
+                jnp.asarray(shift_attn_mask(H, W, ws, shift)) if shift > 0 else None
+            )
+            winq = win.reshape(B, nW, N, 3, self.num_heads, head_dim)
+            out = window_attention_xla_direct(winq, rel, smask, scale)
 
-        out = out.reshape(B, self.num_heads, nW, n_pad, head_dim)
-        out = out.transpose(0, 2, 3, 1, 4).reshape(B, nW, n_pad, self.dim)
-        out = out[:, :, :N, :]
         out = window_reverse(out, ws, H, W)  # (B, H, W, C)
 
         if shift > 0:

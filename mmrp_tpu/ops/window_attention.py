@@ -96,6 +96,13 @@ def shift_attn_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff, -1e9, 0.0).astype(np.float32)
 
 
+def build_rel_bias(rel_bias_table: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """((2ws-1)^2, h) learned table -> (h, N, N) additive bias."""
+    N = ws * ws
+    idx = jnp.asarray(relative_position_index(ws).reshape(-1))
+    return rel_bias_table[idx].reshape(N, N, -1).transpose(2, 0, 1)
+
+
 def build_combined_bias(
     rel_bias_table: jnp.ndarray,  # ((2ws-1)^2, num_heads) learned parameter
     ws: int,
@@ -111,8 +118,7 @@ def build_combined_bias(
     """
     N = ws * ws
     nW = (H // ws) * (W // ws)
-    idx = jnp.asarray(relative_position_index(ws).reshape(-1))
-    rel = rel_bias_table[idx].reshape(N, N, -1).transpose(2, 0, 1)  # (h, N, N)
+    rel = build_rel_bias(rel_bias_table, ws)  # (h, N, N)
     num_heads = rel.shape[0]
 
     if shift > 0:
@@ -137,6 +143,34 @@ def build_combined_bias(
 # ---------------------------------------------------------------------------
 # XLA attention path
 # ---------------------------------------------------------------------------
+
+
+def window_attention_xla_direct(
+    qkv_win: jnp.ndarray,  # (B, nW, N, 3, h, d) — natural window layout
+    rel_bias: jnp.ndarray,  # (h, N, N)
+    smask: Optional[jnp.ndarray],  # (nW, N, N) or None
+    scale: float,
+) -> jnp.ndarray:
+    """Attention on the un-padded, un-transposed window layout.
+
+    Lets XLA contract directly over (B, nW) batch dims: no 49->64 padding
+    (-23% FLOPs) and no head-major relayout of the activations — measured
+    faster than the padded/reordered formulation on v5e.
+    Returns (B, nW, N, h*d).
+    """
+    q = qkv_win[..., 0, :, :]  # (B, nW, N, h, d)
+    k = qkv_win[..., 1, :, :]
+    v = qkv_win[..., 2, :, :]
+    scores = jnp.einsum(
+        "bwqhd,bwkhd->bwhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    scores = scores + rel_bias[None, None].astype(jnp.float32)
+    if smask is not None:
+        scores = scores + smask[None, :, None].astype(jnp.float32)
+    p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bwhqk,bwkhd->bwqhd", p, v)
+    B, nW, N, h, d = out.shape
+    return out.reshape(B, nW, N, h * d)
 
 
 def window_attention_xla(
