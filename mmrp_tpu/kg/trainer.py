@@ -84,6 +84,8 @@ class KGTrainerConfig:
     dropout: float = 0.3
     opn: str = "corr"
     eval_chunk: int = 256  # triples scored against all entities per device pass
+    use_bf16: bool = False  # bf16 scoring (TPU analog of the reference's CUDA
+    #                         AMP, KG_Trainer.py:484-488); params stay f32
 
 
 class KGTrainer:
@@ -179,6 +181,10 @@ class KGTrainer:
         E = self.num_entities
 
         def loss_fn(params, batch, conf, rng):
+            if cfg.use_bf16:
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), params
+                )
             s, r, o = batch[:, 0], batch[:, 1], batch[:, 2]
             B = s.shape[0]
             k_ent, k_side, _ = jax.random.split(rng, 3)
@@ -199,7 +205,7 @@ class KGTrainer:
             )
             pos_term = jax.nn.log_sigmoid(pos_score)
             neg_term = jnp.sum(w * jax.nn.log_sigmoid(-neg_score), axis=1)
-            per = -(pos_term + neg_term) * conf
+            per = (-(pos_term + neg_term) * conf).astype(jnp.float32)
             metrics = {
                 "pos_score": pos_score.mean(),
                 "neg_score": neg_score.mean(),

@@ -59,6 +59,7 @@ class MultiModalConfig:
             cfg.image_backbone if cfg.image_backbone.startswith("swin") else "swin",
             use_pallas=cfg.use_pallas_attention,
             img_size=cfg.image_size,
+            remat=cfg.remat_backbone,
         )
         backbone = cfg.image_backbone.lower()
         if backbone.startswith("swin"):

@@ -50,6 +50,7 @@ class SwinConfig:
     drop_path_rate: float = 0.1
     dropout: float = 0.0
     use_pallas: bool = True
+    remat: bool = False  # jax.checkpoint per block: FLOPs for activation memory
 
     @property
     def num_features(self) -> int:
@@ -237,9 +238,10 @@ class SwinEncoder(nn.Module):
         dpr = np.linspace(0.0, cfg.drop_path_rate, total_blocks)
         block_idx = 0
         dim = cfg.embed_dim
+        block_cls = nn.remat(SwinBlock) if cfg.remat else SwinBlock
         for stage, depth in enumerate(cfg.depths):
             for blk in range(depth):
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim,
                     num_heads=cfg.num_heads[stage],
                     window_size=cfg.window_size,

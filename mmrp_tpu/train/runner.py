@@ -79,6 +79,7 @@ def run_training_pipeline(
         kg_cfg = KGTrainerConfig(
             model=cfg.kg_model, emb_dim=cfg.kg_emb_dim, epochs=cfg.kg_epochs,
             lr=cfg.kg_lr, neg_size=cfg.kg_neg_size, adv_temp=cfg.kg_adv_temp,
+            use_bf16=cfg.kg_use_amp and jax.default_backend() == "tpu",
             seed=cfg.seed, **(
                 dict(num_layers=cfg.kg_num_layers, dropout=cfg.kg_dropout,
                      opn=cfg.kg_opn) if cfg.kg_model == "CompGCN" else {}
