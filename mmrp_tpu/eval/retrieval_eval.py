@@ -98,6 +98,63 @@ def dual_gallery_eval(
     return res
 
 
+def embedding_rank_eval(
+    query_embs: np.ndarray,
+    query_ids: Sequence[str],
+    gallery_embs: np.ndarray,
+    gallery_ids: Sequence[str],
+    gt: Mapping[str, Sequence[str]],
+    ks: Sequence[int] = (1, 5, 10),
+    exclude_self: bool = True,
+) -> Dict[str, float]:
+    """Full cosine sim matrix query x gallery -> MRR@K / Hit@K / Recall@K
+    by label-overlap GT (reference src/Evaluate/retrieval_overlap.py:84-202),
+    computed as one device matmul + vectorized relevance lookup."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmrp_tpu.eval import metrics as M
+    from mmrp_tpu.retrieval.gallery import l2_normalize
+
+    q = l2_normalize(np.asarray(query_embs, np.float32))
+    g = l2_normalize(np.asarray(gallery_embs, np.float32))
+    kmax = max(ks)
+    sims = jnp.asarray(q) @ jnp.asarray(g).T  # (Q, G)
+    if exclude_self:
+        gid_idx = {r: i for i, r in enumerate(gallery_ids)}
+        mask = np.zeros(sims.shape, np.float32)
+        for qi, qid in enumerate(query_ids):
+            j = gid_idx.get(qid)
+            if j is not None:
+                mask[qi, j] = -np.inf
+        sims = sims + jnp.asarray(mask)
+    _, top_idx = jax.lax.top_k(sims, min(kmax, g.shape[0]))
+    top_idx = np.asarray(top_idx)
+
+    garr = np.asarray(gallery_ids)
+    rel = np.zeros(top_idx.shape, np.float32)
+    n_rel = np.zeros(len(query_ids), np.float32)
+    for qi, qid in enumerate(query_ids):
+        rset = set(gt.get(qid, []))
+        n_rel[qi] = len(rset)
+        rel[qi] = [1.0 if garr[j] in rset else 0.0 for j in top_idx[qi]]
+
+    out: Dict[str, float] = {
+        "MRR": float(np.mean(np.asarray(M.reciprocal_rank_batch(jnp.asarray(rel)))))
+    }
+    for k in ks:
+        hit = (rel[:, :k].sum(axis=1) > 0).astype(np.float32)
+        out[f"Hit@{k}"] = float(hit.mean())
+        out[f"R@{k}"] = float(
+            np.mean(
+                np.asarray(
+                    M.recall_at_k_batch(jnp.asarray(rel), jnp.asarray(n_rel), k)
+                )
+            )
+        )
+    return out
+
+
 def variant_eval(
     engine,
     query_embs: np.ndarray,
