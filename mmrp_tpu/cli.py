@@ -46,6 +46,15 @@ def cmd_data(args) -> int:
     records = drop_zero_label_records(records)
     splits = train_val_test_split(records, seed=args.seed, out_dir=str(out / "splits"))
     print(f"[data] splits: { {k: len(v) for k, v in splits.items()} }")
+
+    # per-split distribution check + phrase-match spot check (data_run.py stages)
+    from mmrp_tpu.data.labeler import PhraseLabeler
+    from mmrp_tpu.eval.eda import eda_after_split, phrase_match_check
+
+    by_id = {r["id"]: r for r in records}
+    eda_after_split(splits, by_id, LABEL_COLS, str(out / "eda_after_split.json"))
+    checks = phrase_match_check(records, PhraseLabeler(), n_samples=10)
+    (out / "phrase_check.json").write_text(json.dumps(checks, indent=1))
     return 0
 
 

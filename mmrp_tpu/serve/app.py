@@ -136,6 +136,23 @@ def render_results(payload: Dict[str, Any]) -> str:
         for rid, score in payload["retrieval"]:
             parts.append(f"<li>{html.escape(str(rid))} — {score:.4f}</li>")
         parts.append("</ol></div>")
+    if payload.get("retrieval_detail"):
+        parts.append('<div class="card"><h2>Retrieved case detail</h2>')
+        for d in payload["retrieval_detail"]:
+            cm = d["cross_map"]
+            parts.append(
+                f"<div style='display:inline-block;margin:6px;text-align:center'>"
+                f"<h4>{html.escape(str(d['id']))} ({d['score']:.3f})</h4>"
+                f"<img src='data:image/png;base64,{d['overlay']}'>"
+                f"<br><small>pearson {cm.get('pearson', float('nan')):.2f} · "
+                f"IoU@20% {cm.get('iou@20%', 0):.2f}</small></div>"
+            )
+        if payload.get("retrieval_diversity") is not None:
+            parts.append(
+                f"<p>retrieved-set embedding diversity: "
+                f"{payload['retrieval_diversity']:.3f}</p>"
+            )
+        parts.append("</div>")
     if payload.get("latency_ms") is not None:
         parts.append(f"<p>predict+explain latency: {payload['latency_ms']:.1f} ms</p>")
     return "\n".join(parts)
@@ -191,6 +208,40 @@ def run_inference(ctx: DemoContext, dicom_bytes: bytes, text: str,
         "agreement": agreement,
         "latency_ms": (time.perf_counter() - t0) * 1e3,
     }
+
+    # per-retrieved-item full explain + cross-image map comparison + diversity
+    # (reference app.py:449-630); requires the run's record map
+    if detail and res.get("records_by_id"):
+        from mmrp_tpu.eval.diversity import embedding_diversity
+
+        details = []
+        r_embs = []
+        q_map = attn["attn_final"][0]
+        for rid, score in payload["retrieval"][:3]:
+            rec = res["records_by_id"].get(rid)
+            if rec is None:
+                continue
+            try:
+                r_chw = pp.load(rec["dicom_path"])
+            except (ValueError, OSError):
+                continue
+            r_img = np.transpose(r_chw, (1, 2, 0))[None].astype(np.float32)
+            r_ids, r_mask = tok.encode(rec.get("report_text", ""), max_length=max_len)
+            r_maps = predictor.explainer.attention_maps(r_img, r_ids[None], r_mask[None])
+            r_base = (r_img[0, :, :, 0] + 1.0) / 2.0
+            emb = predictor.embed(r_img, r_ids[None], r_mask[None])
+            r_embs.append(emb["joint_emb"][0])
+            details.append(
+                {
+                    "id": rid,
+                    "score": float(score),
+                    "overlay": _png_base64(r_base, r_maps["attn_final"][0]),
+                    "cross_map": compare_maps(q_map, r_maps["attn_final"][0]),
+                }
+            )
+        payload["retrieval_detail"] = details
+        if len(r_embs) >= 2:
+            payload["retrieval_diversity"] = embedding_diversity(np.stack(r_embs))
     return payload
 
 

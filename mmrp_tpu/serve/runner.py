@@ -73,6 +73,14 @@ def build_demo_context(run_dir: str) -> Dict[str, Any]:
         )
 
     predictor = MMRPredictor(model, params, LABEL_COLS, retriever, reranker)
+
+    # record map for per-retrieved-item detail (reference app.py:449-630)
+    records_by_id = {}
+    records_p = run.parent / "records_cache.json"
+    if records_p.exists():
+        recs = json.loads(records_p.read_text())["records"]
+        records_by_id = {r["id"]: r for r in recs}
+
     return {
         "predictor": predictor,
         "tokenizer": tok,
@@ -80,4 +88,5 @@ def build_demo_context(run_dir: str) -> Dict[str, Any]:
             output_size=(cfg.image_size, cfg.image_size)
         ),
         "max_length": min(cfg.text_dim, 512),
+        "records_by_id": records_by_id,
     }
