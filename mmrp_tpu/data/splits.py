@@ -135,6 +135,27 @@ def train_val_test_split(
     return splits
 
 
+def check_label_consistency(
+    records: Sequence[dict],
+    labels_by_id: Dict[str, Sequence[int]],
+    max_report: int = 10,
+) -> List[str]:
+    """Compare records' label vectors against an external label table;
+    returns mismatching ids (the reference aborts on any mismatch,
+    src/Trainner/train.py:169-195, 407-409)."""
+    bad: List[str] = []
+    for rec in records:
+        ext = labels_by_id.get(rec["id"])
+        if ext is None:
+            continue
+        if list(map(int, ext)) != list(map(int, rec["labels"])):
+            bad.append(rec["id"])
+    if bad:
+        print(f"[splits] label mismatch for {len(bad)} records "
+              f"(first {max_report}): {bad[:max_report]}")
+    return bad
+
+
 def _write_split_artifacts(splits, records, label_cols, out_dir) -> None:
     """id JSONs + per-split CSVs + per-label positive-count diagnostics
     (reference train_val_split.py:127-150)."""

@@ -14,14 +14,19 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def chained_time(fn, carry0, iters=20):
+def chained_time(fn, params, carry0, iters=20):
+    """fn(params, carry) -> carry. Params passed as args (closures would be
+    baked into the program as constants and blow the remote-compile body
+    limit)."""
     import jax
 
-    jfn = jax.jit(lambda c: jax.lax.scan(lambda x, _: (fn(x), ()), c, None,
-                                         length=iters)[0].sum())
-    _ = float(jfn(carry0))  # compile + warmup
+    jfn = jax.jit(
+        lambda p, c: jax.lax.scan(lambda x, _: (fn(p, x), ()), c, None,
+                                  length=iters)[0].sum()
+    )
+    _ = float(jfn(params, carry0))  # compile + warmup
     t0 = time.perf_counter()
-    _ = float(jfn(carry0))
+    _ = float(jfn(params, carry0))
     return (time.perf_counter() - t0) / iters
 
 
@@ -43,11 +48,11 @@ def main():
     img = jnp.asarray(rng.random((B, 224, 224, 3), dtype=np.float32))
     sp = swin.init(jax.random.PRNGKey(0), img[:1])
 
-    def swin_fn(x):
-        out = swin.apply(sp, x)
+    def swin_fn(p, x):
+        out = swin.apply(p, x)
         return x + out["global"].mean().astype(x.dtype) * 1e-12
 
-    dt = chained_time(swin_fn, img)
+    dt = chained_time(swin_fn, sp, img)
     results["swin_t_ms"] = dt * 1e3
     results["swin_t_tflops"] = 4.5e9 * B / dt / 1e12
 
@@ -57,12 +62,12 @@ def main():
     mask = jnp.ones((B, L), jnp.int32)
     tp = text.init(jax.random.PRNGKey(0), ids[:1], mask[:1])
 
-    def text_fn(ids_c):
-        out = text.apply(tp, ids_c, mask)
+    def text_fn(p, ids_c):
+        out = text.apply(p, ids_c, mask)
         bump = (out["cls"].mean() * 0).astype(ids_c.dtype)
         return ids_c + bump
 
-    dt = chained_time(text_fn, ids)
+    dt = chained_time(text_fn, tp, ids)
     results["bert_ms"] = dt * 1e3
     results["bert_tflops"] = 9.5e9 * B / dt / 1e12
 
@@ -76,14 +81,14 @@ def main():
     fp = fusion.init(jax.random.PRNGKey(0), patches[:1], glob[:1], txt[:1],
                      mask[:1])
 
-    def fusion_fn(p):
-        seq, _ = fusion.apply(fp, p, glob, txt, mask)
+    def fusion_fn(fparams, p):
+        seq, _ = fusion.apply(fparams, p, glob, txt, mask)
         for _ in range(4):
-            seq2, _ = fusion.apply(fp, p, glob, txt, mask)
+            seq2, _ = fusion.apply(fparams, p, glob, txt, mask)
             seq = seq + seq2
         return p + seq.mean().astype(p.dtype) * 1e-12
 
-    dt = chained_time(fusion_fn, patches, iters=10)
+    dt = chained_time(fusion_fn, fp, patches, iters=10)
     results["fusion5_ms"] = dt * 1e3
 
     total_ms = results["swin_t_ms"] + results["bert_ms"] + results["fusion5_ms"]
