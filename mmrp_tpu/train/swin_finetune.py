@@ -207,6 +207,42 @@ def lr_range_test(
 
 
 # ---------------------------------------------------------------------------
+# ASL auto-search (finetune_swin.py:388-429, 673-699)
+# ---------------------------------------------------------------------------
+
+
+def auto_select_asl(
+    model,
+    cfg: SwinFinetuneConfig,
+    train_batches,
+    val_batches,
+    base_pos_weight,
+    sample_image,
+    candidates=((2.0, 0.0), (4.0, 0.05), (6.0, 0.1)),
+    quick_epochs: int = 2,
+) -> Tuple[float, float, Dict]:
+    """Short-horizon training per (gamma_neg, clip) candidate; returns the
+    settings with the best composite metric (the reference's quick_eval)."""
+    import dataclasses
+
+    best = (None, None, {"composite": -1.0})
+    for gamma_neg, clip in candidates:
+        trial_cfg = dataclasses.replace(
+            cfg, loss="asl", asl_gamma_neg=gamma_neg, asl_clip=clip,
+            epochs=quick_epochs, patience=quick_epochs + 1,
+        )
+        res = finetune(model, trial_cfg, train_batches, val_batches,
+                       base_pos_weight, sample_image)
+        comp = 0.5 * res["report"]["macro_f1"] + 0.5 * (
+            res["report"]["macro_auroc"]
+            if np.isfinite(res["report"]["macro_auroc"]) else 0.0
+        )
+        if comp > best[2]["composite"]:
+            best = (gamma_neg, clip, {"composite": comp})
+    return best
+
+
+# ---------------------------------------------------------------------------
 # Temperature calibration (finetune_swin.py:834-858)
 # ---------------------------------------------------------------------------
 
