@@ -150,24 +150,30 @@ def window_attention_xla_direct(
     rel_bias: jnp.ndarray,  # (h, N, N)
     smask: Optional[jnp.ndarray],  # (nW, N, N) or None
     scale: float,
+    scores_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Attention on the un-padded, un-transposed window layout.
 
     Lets XLA contract directly over (B, nW) batch dims: no 49->64 padding
-    (-23% FLOPs) and no head-major relayout of the activations — measured
-    faster than the padded/reordered formulation on v5e.
-    Returns (B, nW, N, h*d).
+    (-23% FLOPs) and no head-major relayout of the activations. Scores
+    materialize in the input dtype by default — at stage-1 shapes the score
+    tensor is the single largest HBM stream of the whole encoder
+    (B*64*3*49*49; f32 doubles it), and 49-row softmax with max-subtraction
+    is well-conditioned in bf16. Pass scores_dtype=jnp.float32 for the
+    high-precision variant. Returns (B, nW, N, h*d).
     """
     q = qkv_win[..., 0, :, :]  # (B, nW, N, h, d)
     k = qkv_win[..., 1, :, :]
     v = qkv_win[..., 2, :, :]
-    scores = jnp.einsum(
-        "bwqhd,bwkhd->bwhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    scores = scores + rel_bias[None, None].astype(jnp.float32)
+    sdt = scores_dtype or q.dtype
+    scores = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k, preferred_element_type=sdt)
+    scores = scores * jnp.asarray(scale, sdt) + rel_bias[None, None].astype(sdt)
     if smask is not None:
-        scores = scores + smask[None, :, None].astype(jnp.float32)
-    p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        scores = scores + smask[None, :, None].astype(sdt)
+    # max-subtracted softmax; reductions in f32 regardless of score dtype
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp((scores - m).astype(jnp.float32))
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
     out = jnp.einsum("bwhqk,bwkhd->bwqhd", p, v)
     B, nW, N, h, d = out.shape
     return out.reshape(B, nW, N, h * d)
