@@ -106,6 +106,23 @@ class PatchEmbed(nn.Module):
         return x  # (B, H/ps, W/ps, embed_dim)
 
 
+class DenseParams(nn.Module):
+    """Kernel+bias parameters with nn.Dense's tree layout, without binding
+    the matmul to this module — lets the fused Pallas kernel consume the
+    same checkpoint structure as the unfused nn.Dense path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 class WindowAttention(nn.Module):
     """Windowed multi-head self-attention with relative position bias."""
 
@@ -124,7 +141,6 @@ class WindowAttention(nn.Module):
         shift = self.shift if min(H, W) > ws else 0
         B = x.shape[0]
         N = ws * ws
-        n_pad = 64 if N <= 64 else ((N + 127) // 128) * 128
         nW = (H // ws) * (W // ws)
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
@@ -135,41 +151,42 @@ class WindowAttention(nn.Module):
             ((2 * ws - 1) ** 2, self.num_heads),
             jnp.float32,
         )
+        qkv_k, qkv_b = DenseParams(self.dim * 3, name="qkv")(self.dim)
+        proj_k, proj_b = DenseParams(self.dim, name="proj")(self.dim)
 
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
 
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
-        win = window_partition(qkv, ws)  # (B, nW, N, 3C)
-
         if self.use_pallas and jax.default_backend() == "tpu":
-            # padded head-major layout for the Pallas kernel
-            bias2 = build_combined_bias(rel_table, ws, H, W, shift, n_pad)
-            winp = jnp.pad(win, ((0, 0), (0, 0), (0, n_pad - N), (0, 0)))
-            winp = winp.reshape(B, nW, n_pad, 3, self.num_heads, head_dim)
-            winp = winp.transpose(3, 0, 4, 1, 2, 5)  # (3, B, h, nW, N_pad, d)
-            G = self.num_heads * nW
-            q = winp[0].reshape(B, G, n_pad, head_dim)
-            k = winp[1].reshape(B, G, n_pad, head_dim)
-            v = winp[2].reshape(B, G, n_pad, head_dim)
-            out = window_attention(q, k, v, bias2, scale, use_pallas=True)
-            out = out.reshape(B, self.num_heads, nW, n_pad, head_dim)
-            out = out.transpose(0, 2, 3, 1, 4).reshape(B, nW, n_pad, self.dim)
-            out = out[:, :, :N, :]
+            # fused kernel: qkv + partition + attention + proj in VMEM
+            from mmrp_tpu.ops.fused_window_attention import (
+                build_bias_full,
+                fused_window_attention,
+            )
+
+            bias_full = build_bias_full(rel_table, ws, H, W, shift)
+            out = fused_window_attention(
+                x,
+                qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
+                proj_k.astype(self.dtype), proj_b.astype(self.dtype),
+                bias_full, ws, self.num_heads,
+            )
         else:
             # natural layout: no padding, no head-major relayout
+            qkv = x @ qkv_k.astype(x.dtype) + qkv_b.astype(x.dtype)
+            win = window_partition(qkv, ws)  # (B, nW, N, 3C)
             rel = build_rel_bias(rel_table, ws)
             smask = (
                 jnp.asarray(shift_attn_mask(H, W, ws, shift)) if shift > 0 else None
             )
             winq = win.reshape(B, nW, N, 3, self.num_heads, head_dim)
-            out = window_attention_xla_direct(winq, rel, smask, scale)
-
-        out = window_reverse(out, ws, H, W)  # (B, H, W, C)
+            attn_out = window_attention_xla_direct(winq, rel, smask, scale)
+            attn_out = window_reverse(attn_out, ws, H, W)  # (B, H, W, C)
+            out = attn_out @ proj_k.astype(x.dtype) + proj_b.astype(x.dtype)
 
         if shift > 0:
             out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return out
 
 
 class SwinBlock(nn.Module):

@@ -1,0 +1,62 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmrp_tpu.ops import window_attention as W
+from mmrp_tpu.ops.fused_window_attention import build_bias_full, fused_window_attention
+
+
+def _ref_unfused(x, qkv_k, qkv_b, proj_k, proj_b, table, ws, heads, shift, H, Wd):
+    N = ws * ws
+    nW = (H // ws) * (Wd // ws)
+    d = x.shape[-1] // heads
+    qkv = x @ qkv_k + qkv_b
+    win = W.window_partition(qkv, ws).reshape(x.shape[0], nW, N, 3, heads, d)
+    rel = W.build_rel_bias(table, ws)
+    smask = jnp.asarray(W.shift_attn_mask(H, Wd, ws, shift)) if shift > 0 else None
+    out = W.window_attention_xla_direct(win, rel, smask, d**-0.5,
+                                        scores_dtype=jnp.float32)
+    out = W.window_reverse(out, ws, H, Wd)
+    return out @ proj_k + proj_b
+
+
+def test_fused_matches_unfused(rng):
+    B, H, Wd, C, heads, ws = 2, 14, 14, 32, 2, 7
+    x = jnp.asarray(rng.standard_normal((B, H, Wd, C)) * 0.5, jnp.float32)
+    qkv_k = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1, jnp.float32)
+    qkv_b = jnp.asarray(rng.standard_normal(3 * C) * 0.1, jnp.float32)
+    proj_k = jnp.asarray(rng.standard_normal((C, C)) * 0.1, jnp.float32)
+    proj_b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    table = jnp.asarray(rng.standard_normal(((2 * ws - 1) ** 2, heads)), jnp.float32)
+
+    for shift in (0, 3):
+        bias_full = build_bias_full(table, ws, H, Wd, shift)
+        got = fused_window_attention(
+            x, qkv_k, qkv_b, proj_k, proj_b, bias_full, ws, heads, interpret=True
+        )
+        want = _ref_unfused(x, qkv_k, qkv_b, proj_k, proj_b, table, ws, heads,
+                            shift, H, Wd)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_bias_full_shapes():
+    table = jnp.zeros((169, 3), jnp.float32)
+    b0 = build_bias_full(table, 7, 14, 14, 0)
+    assert b0.shape == (4, 3, 49, 49)
+    b3 = build_bias_full(table, 7, 14, 14, 3)
+    assert b3.shape == (4, 3, 49, 49)
+    assert (np.asarray(b3) < -1e8).any()  # shift mask folded in
+
+
+def test_swin_fused_param_layout_matches_unfused(rng):
+    """Checkpoint compatibility: the fused path must expose the same param
+    tree (qkv/proj kernel+bias) as the unfused path."""
+    from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
+
+    x = jnp.asarray(rng.random((1, 28, 28, 3)), jnp.float32)
+    cfgs = [SwinConfig.micro(use_pallas=False), SwinConfig.micro(use_pallas=True)]
+    trees = []
+    for cfg in cfgs:
+        params = SwinEncoder(cfg).init(jax.random.PRNGKey(0), x)["params"]
+        trees.append(jax.tree_util.tree_structure(params))
+    assert trees[0] == trees[1]
