@@ -123,7 +123,7 @@ def main() -> None:
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    batch = int(os.environ.get("BENCH_BATCH", "256" if on_tpu else "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "128" if on_tpu else "4"))
     text_len = int(os.environ.get("BENCH_TEXT_LEN", "64"))
     iters = 20 if on_tpu else 2
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"

@@ -158,19 +158,22 @@ class WindowAttention(nn.Module):
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
 
         if self.use_pallas and jax.default_backend() == "tpu":
-            # fused kernel: qkv + partition + attention + proj in VMEM
+            # fused kernel: qkv + attention + proj in VMEM (partition/reverse
+            # stay in XLA — cheap relayouts on this chip)
             from mmrp_tpu.ops.fused_window_attention import (
                 build_bias_full,
-                fused_window_attention,
+                fused_window_attention_windows,
             )
 
             bias_full = build_bias_full(rel_table, ws, H, W, shift)
-            out = fused_window_attention(
-                x,
+            xw = window_partition(x, ws)  # (B, nW, N, C)
+            ow = fused_window_attention_windows(
+                xw,
                 qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
                 proj_k.astype(self.dtype), proj_b.astype(self.dtype),
-                bias_full, ws, self.num_heads,
+                bias_full, self.num_heads,
             )
+            out = window_reverse(ow, ws, H, W)
         else:
             # natural layout: no padding, no head-major relayout
             qkv = x @ qkv_k.astype(x.dtype) + qkv_b.astype(x.dtype)

@@ -1,18 +1,22 @@
-"""Fused Swin window attention: qkv + partition + attention + proj in VMEM.
+"""Fused Swin window attention: qkv + attention + proj in VMEM (Pallas).
 
 Motivation (measured on the target chip, tools/profile_ops.py): effective
-HBM bandwidth is the binding constraint, and the unfused attention path
-streams qkv (3x activations), padded relayouts, and the score tensor
-(B*nW*h*N^2 — the largest single stream of the encoder) through HBM. This
-kernel reads the (pre-LN'd, pre-rolled) feature map ONCE per block row,
-computes qkv projection, window partition, biased softmax attention, and
-the output projection entirely in VMEM, and writes the attended features
-ONCE.
+HBM bandwidth is the binding constraint, and the unfused path streams qkv
+(3x activations) plus the attention score tensor (B*nW*h*N^2 — the largest
+single stream of the encoder) through HBM. This kernel consumes the
+window-partitioned feature map (B, nW, N, C) and performs the qkv
+projection, biased softmax attention, and output projection entirely in
+VMEM: qkv and scores never touch HBM.
 
-Grid: (B, H/ws) — one program per (image, window row). Weights and the
-per-row bias slice are grid-invariant or row-indexed and stay VMEM-resident.
-Shifted windows are handled by the caller's cyclic roll (cheap) + the
-precomputed per-window additive mask folded into ``bias_full``.
+Mosaic constraints shaped the design: TPU vector layouts don't allow
+sublane-splitting shape casts, so the kernel uses **no reshapes at all** —
+only static lane slices (per-head views of the fused qkv), batched
+dot_generals, and a lane-concat. Window partition/reverse and the shifted
+-window cyclic roll stay in XLA where they are cheap relayouts; the
+per-window shift masks fold into the precomputed ``bias_full`` tensor.
+
+Grid: (B, nW / WBLK) — one program per (image, window block). Weights are
+grid-invariant and stay VMEM-resident; the bias slice is window-indexed.
 """
 
 from __future__ import annotations
@@ -34,106 +38,96 @@ except ImportError:  # pragma: no cover
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, o_ref,
-            *, ws: int, num_heads: int, scale: float):
-    # x block: (1, ws, W, C); bias block: (nWr, h, N, N)
-    x = x_ref[0]  # (ws, W, C)
-    W = x.shape[1]
-    C = x.shape[2]
-    nWr = W // ws
-    N = ws * ws
+            *, num_heads: int, scale: float, block_windows: int):
+    # blocks: x (1, WBLK, N, C); bias (WBLK, h, N, N); weights full.
+    # Every tensor op below is rank-2 — Mosaic's vector layouts reject
+    # sublane-splitting/merging shape casts, so windows and heads are
+    # static python unrolls over 2D matmuls and lane slices.
+    C = x_ref.shape[3]
     h = num_heads
     d = C // h
 
-    # window partition: (ws, W, C) -> (nWr, N, C)
-    xw = x.reshape(ws, nWr, ws, C).transpose(1, 0, 2, 3).reshape(nWr, N, C)
+    for w in range(block_windows):  # static unroll
+        xw = x_ref[0, w]  # (N, C)
+        qkv = (
+            jnp.dot(xw, wqkv_ref[...], preferred_element_type=jnp.float32)
+            + bqkv_ref[...][None, :]
+        ).astype(xw.dtype)  # (N, 3C)
 
-    # qkv projection in VMEM: (nWr*N, C) @ (C, 3C)
-    qkv = (
-        jnp.dot(xw.reshape(nWr * N, C), wqkv_ref[...],
-                preferred_element_type=jnp.float32)
-        + bqkv_ref[...][None, :]
-    ).astype(x.dtype)
-    qkv = qkv.reshape(nWr, N, 3, h, d)
-    # head-major batched layout: (nWr*h, N, d)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3).reshape(nWr * h, N, d)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3).reshape(nWr * h, N, d)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3).reshape(nWr * h, N, d)
+        outs = []
+        for head in range(h):  # per-head lane slices
+            q = qkv[:, head * d : (head + 1) * d]
+            k = qkv[:, C + head * d : C + (head + 1) * d]
+            v = qkv[:, 2 * C + head * d : 2 * C + (head + 1) * d]
+            scores = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (N, N)
+            scores = scores * scale + bias_ref[w, head]
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(xw.dtype)
+            outs.append(
+                jnp.dot(p, v, preferred_element_type=jnp.float32).astype(xw.dtype)
+            )  # (N, d)
+        attn = jnp.concatenate(outs, axis=-1)  # (N, C) — lane concat
 
-    scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (nWr*h, N, N)
-    scores = scores * scale + bias_ref[...].reshape(nWr * h, N, N)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-
-    out = jax.lax.dot_general(
-        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)  # (nWr*h, N, d)
-    out = out.reshape(nWr, h, N, d).transpose(0, 2, 1, 3).reshape(nWr * N, C)
-
-    proj = (
-        jnp.dot(out, wproj_ref[...], preferred_element_type=jnp.float32)
-        + bproj_ref[...][None, :]
-    ).astype(x.dtype)
-    # reverse partition: (nWr, N, C) -> (ws, W, C)
-    o_ref[0] = (
-        proj.reshape(nWr, ws, ws, C).transpose(1, 0, 2, 3).reshape(ws, W, C)
-    )
+        proj = (
+            jnp.dot(attn, wproj_ref[...], preferred_element_type=jnp.float32)
+            + bproj_ref[...][None, :]
+        )
+        o_ref[0, w] = proj.astype(xw.dtype)
 
 
-def fused_window_attention(
-    x: jnp.ndarray,        # (B, H, W, C) — post-LN, post-roll
+def fused_window_attention_windows(
+    xw: jnp.ndarray,       # (B, nW, N, C) — post-LN, post-roll, partitioned
     w_qkv: jnp.ndarray,    # (C, 3C)
     b_qkv: jnp.ndarray,    # (3C,)
     w_proj: jnp.ndarray,   # (C, C)
     b_proj: jnp.ndarray,   # (C,)
     bias_full: jnp.ndarray,  # (nW, h, N, N) f32: rel bias + shift mask
-    ws: int,
     num_heads: int,
+    block_windows: int = 8,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    B, H, W, C = x.shape
-    N = ws * ws
-    nWr = W // ws
+    B, nW, N, C = xw.shape
     d = C // num_heads
     scale = d**-0.5
+    wblk = block_windows if nW % block_windows == 0 else 1
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     vm = dict(memory_space=pltpu.VMEM) if (_HAS_PLTPU and not interpret) else {}
-    grid = (B, H // ws)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         )
         kwargs["cost_estimate"] = pl.CostEstimate(
-            flops=2 * B * H * W * (3 * C * C + C * C)
-            + 4 * B * (H // ws) * nWr * num_heads * N * N * d,
-            bytes_accessed=2 * B * H * W * C * 2 + bias_full.size * 4,
-            transcendentals=B * (H // ws) * nWr * num_heads * N * N,
+            flops=2 * B * nW * N * (3 * C * C + C * C)
+            + 4 * B * nW * num_heads * N * N * d,
+            bytes_accessed=2 * B * nW * N * C * 2 + bias_full.size * 4,
+            transcendentals=B * nW * num_heads * N * N,
         )
     return pl.pallas_call(
-        functools.partial(_kernel, ws=ws, num_heads=num_heads, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
-        grid=grid,
+        functools.partial(_kernel, num_heads=num_heads, scale=scale,
+                          block_windows=wblk),
+        out_shape=jax.ShapeDtypeStruct((B, nW, N, C), xw.dtype),
+        grid=(B, nW // wblk),
         in_specs=[
-            pl.BlockSpec((1, ws, W, C), lambda b, r: (b, r, 0, 0), **vm),
-            pl.BlockSpec((C, 3 * C), lambda b, r: (0, 0), **vm),
-            pl.BlockSpec((3 * C,), lambda b, r: (0,), **vm),
-            pl.BlockSpec((C, C), lambda b, r: (0, 0), **vm),
-            pl.BlockSpec((C,), lambda b, r: (0,), **vm),
+            pl.BlockSpec((1, wblk, N, C), lambda b, w: (b, w, 0, 0), **vm),
+            pl.BlockSpec((C, 3 * C), lambda b, w: (0, 0), **vm),
+            pl.BlockSpec((3 * C,), lambda b, w: (0,), **vm),
+            pl.BlockSpec((C, C), lambda b, w: (0, 0), **vm),
+            pl.BlockSpec((C,), lambda b, w: (0,), **vm),
             pl.BlockSpec(
-                (nWr, num_heads, N, N), lambda b, r: (r, 0, 0, 0), **vm
+                (wblk, num_heads, N, N), lambda b, w: (w, 0, 0, 0), **vm
             ),
         ],
-        out_specs=pl.BlockSpec((1, ws, W, C), lambda b, r: (b, r, 0, 0), **vm),
+        out_specs=pl.BlockSpec((1, wblk, N, C), lambda b, w: (b, w, 0, 0), **vm),
         interpret=interpret,
         **kwargs,
-    )(x, w_qkv, b_qkv, w_proj, b_proj, bias_full)
+    )(xw, w_qkv, b_qkv, w_proj, b_proj, bias_full)
 
 
 def build_bias_full(rel_bias_table, ws: int, H: int, W: int, shift: int):

@@ -3,7 +3,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmrp_tpu.ops import window_attention as W
-from mmrp_tpu.ops.fused_window_attention import build_bias_full, fused_window_attention
+from mmrp_tpu.ops.fused_window_attention import (
+    build_bias_full,
+    fused_window_attention_windows,
+)
 
 
 def _ref_unfused(x, qkv_k, qkv_b, proj_k, proj_b, table, ws, heads, shift, H, Wd):
@@ -31,12 +34,29 @@ def test_fused_matches_unfused(rng):
 
     for shift in (0, 3):
         bias_full = build_bias_full(table, ws, H, Wd, shift)
-        got = fused_window_attention(
-            x, qkv_k, qkv_b, proj_k, proj_b, bias_full, ws, heads, interpret=True
+        xw = W.window_partition(x, ws)
+        got = fused_window_attention_windows(
+            xw, qkv_k, qkv_b, proj_k, proj_b, bias_full, heads, interpret=True
         )
+        got = W.window_reverse(got, ws, H, Wd)
         want = _ref_unfused(x, qkv_k, qkv_b, proj_k, proj_b, table, ws, heads,
                             shift, H, Wd)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fused_block_windows_fallback(rng):
+    # nW=4 not divisible by default block 8 -> wblk falls back to 1
+    B, H, Wd, C, heads, ws = 1, 14, 14, 16, 2, 7
+    x = jnp.asarray(rng.standard_normal((B, H, Wd, C)), jnp.float32)
+    table = jnp.zeros(((2 * ws - 1) ** 2, heads), jnp.float32)
+    xw = W.window_partition(x, ws)
+    out = fused_window_attention_windows(
+        xw, jnp.eye(C, 3 * C), jnp.zeros(3 * C), jnp.eye(C), jnp.zeros(C),
+        build_bias_full(table, ws, H, Wd, 0), heads, block_windows=8,
+        interpret=True,
+    )
+    assert out.shape == xw.shape
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_bias_full_shapes():
