@@ -113,6 +113,7 @@ class Config:
     mesh_shape: str = "auto"            # "auto" | "dp=8" | "dp=4,tp=2" ...
     dtype_policy: str = "bf16"          # bf16 | f32  (params f32, compute bf16)
     image_size: int = 224
+    augment: bool = False               # on-device rotation/flip (tensorDICOM.py:41-45)
     bench_text_len: int = 128           # static text length used for benchmarks
     gallery_shard_axis: str = "dp"
     use_pallas_attention: bool = True

@@ -75,9 +75,15 @@ def compute_losses(
     pos_weight: Optional[jnp.ndarray],
     deterministic: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    image = batch["image"]
+    if not deterministic and getattr(cfg, "augment", False):
+        from mmrp_tpu.ops.preprocess import augment_batch
+
+        rng, aug_rng = jax.random.split(rng)
+        image = augment_batch(image, aug_rng)
     out = model.apply(
         {"params": params["model"]},
-        batch["image"],
+        image,
         batch["input_ids"],
         batch["attention_mask"],
         deterministic=deterministic,
