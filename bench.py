@@ -126,7 +126,9 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "128" if on_tpu else "4"))
     text_len = int(os.environ.get("BENCH_TEXT_LEN", "64"))
     iters = 20 if on_tpu else 2
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    # fused Pallas window attention is the default on TPU (measured +15%
+    # over the best XLA formulation); BENCH_PALLAS=0 selects the XLA path
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     key = "pallas" if use_pallas else "xla"
 
     details = {"backend": backend, "batch": batch, "text_len": text_len,

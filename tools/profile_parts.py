@@ -44,7 +44,8 @@ def main():
     results = {}
 
     # ---- Swin-T ----
-    swin = SwinEncoder(SwinConfig.tiny(use_pallas=False), dtype=jnp.bfloat16)
+    use_pallas = os.environ.get("PROFILE_PALLAS", "1") == "1"
+    swin = SwinEncoder(SwinConfig.tiny(use_pallas=use_pallas), dtype=jnp.bfloat16)
     img = jnp.asarray(rng.random((B, 224, 224, 3), dtype=np.float32))
     sp = swin.init(jax.random.PRNGKey(0), img[:1])
 
