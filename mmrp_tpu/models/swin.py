@@ -106,6 +106,29 @@ class PatchEmbed(nn.Module):
         return x  # (B, H/ps, W/ps, embed_dim)
 
 
+class LnParams(nn.Module):
+    """scale/bias with nn.LayerNorm's tree layout."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        s = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        return s, b
+
+
+class MlpParams(nn.Module):
+    """Dense_0/Dense_1 kernels+biases with the Mlp module's tree layout."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self):
+        d0 = DenseParams(self.hidden, name="Dense_0")(self.out)
+        d1 = DenseParams(self.out, name="Dense_1")(self.hidden)
+        return d0, d1
+
+
 class DenseParams(nn.Module):
     """Kernel+bias parameters with nn.Dense's tree layout, without binding
     the matmul to this module — lets the fused Pallas kernel consume the
@@ -135,7 +158,7 @@ class WindowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, C)
+    def __call__(self, x, deterministic: bool = True):  # (B, H, W, C)
         H, W = self.input_resolution
         ws = self.window_size
         shift = self.shift if min(H, W) > ws else 0
@@ -157,7 +180,8 @@ class WindowAttention(nn.Module):
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
 
-        if self.use_pallas and jax.default_backend() == "tpu":
+        # the fused Pallas kernel has no VJP yet: inference-only
+        if deterministic and self.use_pallas and jax.default_backend() == "tpu":
             # fused kernel: qkv + attention + proj in VMEM (partition/reverse
             # stay in XLA — cheap relayouts on this chip)
             from mmrp_tpu.ops.fused_window_attention import (
@@ -216,15 +240,43 @@ class SwinBlock(nn.Module):
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
-        )(y)
-        x = x + DropPath(self.drop_path)(y, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = Mlp(
-            int(self.dim * self.mlp_ratio),
-            dropout=self.dropout,
-            dtype=self.dtype,
-            name="mlp",
         )(y, deterministic)
+        x = x + DropPath(self.drop_path)(y, deterministic)
+
+        # second half: LN -> MLP -> residual. Params are declared explicitly
+        # (same tree as nn.LayerNorm/Mlp) so the fused Pallas kernel and the
+        # autodiff-able unfused path share checkpoints.
+        hidden = int(self.dim * self.mlp_ratio)
+        ln = LnParams(name="LayerNorm_1")
+        ln_scale, ln_bias = ln(self.dim)
+        mlp_params = MlpParams(hidden, self.dim, name="mlp")
+        (w1, b1), (w2, b2) = mlp_params()
+
+        if (
+            deterministic
+            and self.use_pallas
+            and jax.default_backend() == "tpu"
+        ):
+            from mmrp_tpu.ops.fused_mlp import fused_ln_mlp_residual
+
+            B, H, W, C = x.shape
+            out = fused_ln_mlp_residual(
+                x.reshape(B * H * W, C),
+                ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+            )
+            return out.reshape(B, H, W, C)
+
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
+        y = y * ln_scale.astype(self.dtype) + ln_bias.astype(self.dtype)
+        y = jax.nn.gelu(y @ w1.astype(self.dtype) + b1.astype(self.dtype))
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = y @ w2.astype(self.dtype) + b2.astype(self.dtype)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return x + DropPath(self.drop_path)(y, deterministic)
 
 
