@@ -158,7 +158,11 @@ class WindowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):  # (B, H, W, C)
+    def __call__(self, x, ln_scale, ln_bias, deterministic: bool = True):
+        """x: RAW (pre-LN) (B, H, W, C). Returns (out, residual_included):
+        the fused Pallas path computes x + proj(attn(LN(x))) in one kernel
+        (residual_included=True); the autodiff-able XLA path returns only
+        the branch proj(attn(LN(x))) so the caller can apply DropPath."""
         H, W = self.input_resolution
         ws = self.window_size
         shift = self.shift if min(H, W) > ws else 0
@@ -177,43 +181,51 @@ class WindowAttention(nn.Module):
         qkv_k, qkv_b = DenseParams(self.dim * 3, name="qkv")(self.dim)
         proj_k, proj_b = DenseParams(self.dim, name="proj")(self.dim)
 
-        if shift > 0:
-            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-
         # the fused Pallas kernel has no VJP yet: inference-only
         if deterministic and self.use_pallas and jax.default_backend() == "tpu":
-            # fused kernel: qkv + attention + proj in VMEM (partition/reverse
-            # stay in XLA — cheap relayouts on this chip)
             from mmrp_tpu.ops.fused_window_attention import (
                 build_bias_full,
                 fused_window_attention_windows,
             )
 
+            if shift > 0:
+                x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
             bias_full = build_bias_full(rel_table, ws, H, W, shift)
-            xw = window_partition(x, ws)  # (B, nW, N, C)
+            xw = window_partition(x, ws)  # (B, nW, N, C) raw
             ow = fused_window_attention_windows(
                 xw,
+                ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
                 qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
                 proj_k.astype(self.dtype), proj_b.astype(self.dtype),
                 bias_full, self.num_heads,
             )
             out = window_reverse(ow, ws, H, W)
-        else:
-            # natural layout: no padding, no head-major relayout
-            qkv = x @ qkv_k.astype(x.dtype) + qkv_b.astype(x.dtype)
-            win = window_partition(qkv, ws)  # (B, nW, N, 3C)
-            rel = build_rel_bias(rel_table, ws)
-            smask = (
-                jnp.asarray(shift_attn_mask(H, W, ws, shift)) if shift > 0 else None
-            )
-            winq = win.reshape(B, nW, N, 3, self.num_heads, head_dim)
-            attn_out = window_attention_xla_direct(winq, rel, smask, scale)
-            attn_out = window_reverse(attn_out, ws, H, W)  # (B, H, W, C)
-            out = attn_out @ proj_k.astype(x.dtype) + proj_b.astype(x.dtype)
+            if shift > 0:
+                out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
+            return out, True
+
+        # XLA path: manual LN (params shared with the fused path)
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
+        y = y * ln_scale.astype(self.dtype) + ln_bias.astype(self.dtype)
 
         if shift > 0:
+            y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+        qkv = y @ qkv_k.astype(y.dtype) + qkv_b.astype(y.dtype)
+        win = window_partition(qkv, ws)  # (B, nW, N, 3C)
+        rel = build_rel_bias(rel_table, ws)
+        smask = (
+            jnp.asarray(shift_attn_mask(H, W, ws, shift)) if shift > 0 else None
+        )
+        winq = win.reshape(B, nW, N, 3, self.num_heads, head_dim)
+        attn_out = window_attention_xla_direct(winq, rel, smask, scale)
+        attn_out = window_reverse(attn_out, ws, H, W)  # (B, H, W, C)
+        out = attn_out @ proj_k.astype(y.dtype) + proj_b.astype(y.dtype)
+        if shift > 0:
             out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
-        return out
+        return out, False
 
 
 class SwinBlock(nn.Module):
@@ -230,8 +242,8 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = WindowAttention(
+        ln0_s, ln0_b = LnParams(name="LayerNorm_0")(self.dim)
+        y, residual_included = WindowAttention(
             dim=self.dim,
             num_heads=self.num_heads,
             window_size=self.window_size,
@@ -240,8 +252,11 @@ class SwinBlock(nn.Module):
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
-        )(y, deterministic)
-        x = x + DropPath(self.drop_path)(y, deterministic)
+        )(x, ln0_s, ln0_b, deterministic)
+        if residual_included:  # fused kernel already added x (eval only)
+            x = y
+        else:
+            x = x + DropPath(self.drop_path)(y, deterministic)
 
         # second half: LN -> MLP -> residual. Params are declared explicitly
         # (same tree as nn.LayerNorm/Mlp) so the fused Pallas kernel and the

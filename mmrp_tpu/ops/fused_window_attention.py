@@ -37,10 +37,12 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, o_ref,
-            *, num_heads: int, scale: float, block_windows: int):
-    # blocks: x (1, WBLK, N, C); bias (WBLK, h, N, N); weights full.
-    # Every tensor op below is rank-2 — Mosaic's vector layouts reject
+def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+            bproj_ref, bias_ref, o_ref,
+            *, num_heads: int, scale: float, block_windows: int, ln_eps: float):
+    # blocks: x (1, WBLK, N, C) RAW (pre-LN); bias (WBLK, h, N, N); weights
+    # full. Computes o = x + proj(attn(LN(x))) — the whole first half of a
+    # Swin block. Every tensor op is rank-2 — Mosaic's vector layouts reject
     # sublane-splitting/merging shape casts, so windows and heads are
     # static python unrolls over 2D matmuls and lane slices.
     C = x_ref.shape[3]
@@ -48,7 +50,14 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, o_ref,
     d = C // h
 
     for w in range(block_windows):  # static unroll
-        xw = x_ref[0, w]  # (N, C)
+        x_raw = x_ref[0, w]  # (N, C)
+        xf = x_raw.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        xw = (
+            (xf - mu) * jax.lax.rsqrt(var + ln_eps) * ln_s_ref[...][None, :]
+            + ln_b_ref[...][None, :]
+        ).astype(x_raw.dtype)
         qkv = (
             jnp.dot(xw, wqkv_ref[...], preferred_element_type=jnp.float32)
             + bqkv_ref[...][None, :]
@@ -76,11 +85,13 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, o_ref,
             jnp.dot(attn, wproj_ref[...], preferred_element_type=jnp.float32)
             + bproj_ref[...][None, :]
         )
-        o_ref[0, w] = proj.astype(xw.dtype)
+        o_ref[0, w] = (xf + proj).astype(x_raw.dtype)  # fused residual
 
 
 def fused_window_attention_windows(
-    xw: jnp.ndarray,       # (B, nW, N, C) — post-LN, post-roll, partitioned
+    xw: jnp.ndarray,       # (B, nW, N, C) — RAW (pre-LN), post-roll, partitioned
+    ln_scale: jnp.ndarray,  # (C,)
+    ln_bias: jnp.ndarray,   # (C,)
     w_qkv: jnp.ndarray,    # (C, 3C)
     b_qkv: jnp.ndarray,    # (3C,)
     w_proj: jnp.ndarray,   # (C, C)
@@ -88,8 +99,10 @@ def fused_window_attention_windows(
     bias_full: jnp.ndarray,  # (nW, h, N, N) f32: rel bias + shift mask
     num_heads: int,
     block_windows: int = 8,
+    ln_eps: float = 1e-6,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
+    """Returns x + proj(attention(LN(x))) in window layout."""
     B, nW, N, C = xw.shape
     d = C // num_heads
     scale = d**-0.5
@@ -111,11 +124,13 @@ def fused_window_attention_windows(
         )
     return pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, scale=scale,
-                          block_windows=wblk),
+                          block_windows=wblk, ln_eps=ln_eps),
         out_shape=jax.ShapeDtypeStruct((B, nW, N, C), xw.dtype),
         grid=(B, nW // wblk),
         in_specs=[
             pl.BlockSpec((1, wblk, N, C), lambda b, w: (b, w, 0, 0), **vm),
+            pl.BlockSpec((C,), lambda b, w: (0,), **vm),
+            pl.BlockSpec((C,), lambda b, w: (0,), **vm),
             pl.BlockSpec((C, 3 * C), lambda b, w: (0, 0), **vm),
             pl.BlockSpec((3 * C,), lambda b, w: (0,), **vm),
             pl.BlockSpec((C, C), lambda b, w: (0, 0), **vm),
@@ -127,7 +142,7 @@ def fused_window_attention_windows(
         out_specs=pl.BlockSpec((1, wblk, N, C), lambda b, w: (b, w, 0, 0), **vm),
         interpret=interpret,
         **kwargs,
-    )(xw, w_qkv, b_qkv, w_proj, b_proj, bias_full)
+    )(xw, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias_full)
 
 
 def build_bias_full(rel_bias_table, ws: int, H: int, W: int, shift: int):

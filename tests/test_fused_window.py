@@ -9,10 +9,20 @@ from mmrp_tpu.ops.fused_window_attention import (
 )
 
 
-def _ref_unfused(x, qkv_k, qkv_b, proj_k, proj_b, table, ws, heads, shift, H, Wd):
+def _ln(x, s, b, eps=1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+
+def _ref_unfused(x_raw, qkv_k, qkv_b, proj_k, proj_b, table, ws, heads, shift,
+                 H, Wd, ln_s, ln_b):
     N = ws * ws
     nW = (H // ws) * (Wd // ws)
-    d = x.shape[-1] // heads
+    d = x_raw.shape[-1] // heads
+    x = _ln(x_raw, ln_s, ln_b)
+    if shift:
+        x = jnp.roll(x, (-shift, -shift), (1, 2))
     qkv = x @ qkv_k + qkv_b
     win = W.window_partition(qkv, ws).reshape(x.shape[0], nW, N, 3, heads, d)
     rel = W.build_rel_bias(table, ws)
@@ -20,7 +30,10 @@ def _ref_unfused(x, qkv_k, qkv_b, proj_k, proj_b, table, ws, heads, shift, H, Wd
     out = W.window_attention_xla_direct(win, rel, smask, d**-0.5,
                                         scores_dtype=jnp.float32)
     out = W.window_reverse(out, ws, H, Wd)
-    return out @ proj_k + proj_b
+    out = out @ proj_k + proj_b
+    if shift:
+        out = jnp.roll(out, (shift, shift), (1, 2))
+    return x_raw + out  # kernel includes the residual
 
 
 def test_fused_matches_unfused(rng):
@@ -31,17 +44,24 @@ def test_fused_matches_unfused(rng):
     proj_k = jnp.asarray(rng.standard_normal((C, C)) * 0.1, jnp.float32)
     proj_b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
     table = jnp.asarray(rng.standard_normal(((2 * ws - 1) ** 2, heads)), jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
 
     for shift in (0, 3):
         bias_full = build_bias_full(table, ws, H, Wd, shift)
-        xw = W.window_partition(x, ws)
+        # caller pre-rolls for the fused path
+        x_in = jnp.roll(x, (-shift, -shift), (1, 2)) if shift else x
+        xw = W.window_partition(x_in, ws)
         got = fused_window_attention_windows(
-            xw, qkv_k, qkv_b, proj_k, proj_b, bias_full, heads, interpret=True
+            xw, ln_s, ln_b, qkv_k, qkv_b, proj_k, proj_b, bias_full, heads,
+            interpret=True,
         )
         got = W.window_reverse(got, ws, H, Wd)
+        if shift:
+            got = jnp.roll(got, (shift, shift), (1, 2))
         want = _ref_unfused(x, qkv_k, qkv_b, proj_k, proj_b, table, ws, heads,
-                            shift, H, Wd)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+                            shift, H, Wd, ln_s, ln_b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
 
 
 def test_fused_block_windows_fallback(rng):
@@ -51,7 +71,8 @@ def test_fused_block_windows_fallback(rng):
     table = jnp.zeros(((2 * ws - 1) ** 2, heads), jnp.float32)
     xw = W.window_partition(x, ws)
     out = fused_window_attention_windows(
-        xw, jnp.eye(C, 3 * C), jnp.zeros(3 * C), jnp.eye(C), jnp.zeros(C),
+        xw, jnp.ones(C), jnp.zeros(C),
+        jnp.eye(C, 3 * C), jnp.zeros(3 * C), jnp.eye(C), jnp.zeros(C),
         build_bias_full(table, ws, H, Wd, 0), heads, block_windows=8,
         interpret=True,
     )
