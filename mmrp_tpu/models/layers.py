@@ -88,3 +88,30 @@ class SelfAttentionBlock(nn.Module):
             dtype=self.dtype,
         )(y, y, mask=mask, deterministic=deterministic)
         return x + y
+
+
+class LnParams(nn.Module):
+    """scale/bias with nn.LayerNorm's tree layout (for fused-kernel paths)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        s = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        return s, b
+
+
+class DenseParams(nn.Module):
+    """Kernel+bias parameters with nn.Dense's tree layout, without binding
+    the matmul to this module — lets fused Pallas kernels consume the same
+    checkpoint structure as the unfused nn.Dense path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b

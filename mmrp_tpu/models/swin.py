@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from mmrp_tpu.models.layers import DropPath, Mlp
+from mmrp_tpu.models.layers import DenseParams, DropPath, LnParams, Mlp
 from mmrp_tpu.ops.window_attention import (
     build_combined_bias,
     build_rel_bias,
@@ -106,16 +106,6 @@ class PatchEmbed(nn.Module):
         return x  # (B, H/ps, W/ps, embed_dim)
 
 
-class LnParams(nn.Module):
-    """scale/bias with nn.LayerNorm's tree layout."""
-
-    @nn.compact
-    def __call__(self, features: int):
-        s = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
-        return s, b
-
-
 class MlpParams(nn.Module):
     """Dense_0/Dense_1 kernels+biases with the Mlp module's tree layout."""
 
@@ -127,23 +117,6 @@ class MlpParams(nn.Module):
         d0 = DenseParams(self.hidden, name="Dense_0")(self.out)
         d1 = DenseParams(self.out, name="Dense_1")(self.hidden)
         return d0, d1
-
-
-class DenseParams(nn.Module):
-    """Kernel+bias parameters with nn.Dense's tree layout, without binding
-    the matmul to this module — lets the fused Pallas kernel consume the
-    same checkpoint structure as the unfused nn.Dense path."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
-            jnp.float32,
-        )
-        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return k, b
 
 
 class WindowAttention(nn.Module):

@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -88,6 +89,8 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask, deterministic: bool = True):
+        from mmrp_tpu.models.layers import DenseParams, LnParams
+
         cfg = self.config
         y = nn.MultiHeadDotProductAttention(
             num_heads=cfg.num_heads,
@@ -97,11 +100,35 @@ class BertLayer(nn.Module):
         )(x, x, mask=attn_mask, deterministic=deterministic)
         y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x + y)
-        y = nn.Dense(cfg.intermediate_dim, dtype=self.dtype, name="ffn_in")(x)
-        y = nn.gelu(y)
-        y = nn.Dense(cfg.hidden_dim, dtype=self.dtype, name="ffn_out")(y)
+
+        # FFN params declared explicitly: fused Pallas kernel (inference) and
+        # autodiff XLA path share one checkpoint tree (port.py unchanged)
+        w1, b1 = DenseParams(cfg.intermediate_dim, name="ffn_in")(cfg.hidden_dim)
+        w2, b2 = DenseParams(cfg.hidden_dim, name="ffn_out")(cfg.intermediate_dim)
+        ln_s, ln_b = LnParams(name="ffn_norm")(cfg.hidden_dim)
+
+        if deterministic and jax.default_backend() == "tpu":
+            from mmrp_tpu.ops.fused_mlp import fused_ln_mlp_residual
+
+            B, L, D = x.shape
+            out = fused_ln_mlp_residual(
+                x.reshape(B * L, D),
+                ln_s.astype(jnp.float32), ln_b.astype(jnp.float32),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                post_ln=True,
+            )
+            return out.reshape(B, L, D)
+
+        y = jax.nn.gelu(x @ w1.astype(x.dtype) + b1.astype(x.dtype))
+        y = y @ w2.astype(x.dtype) + b2.astype(x.dtype)
         y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="ffn_norm")(x + y)
+        xf = (x + y).astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        out = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+        out = out.astype(self.dtype) * ln_s.astype(self.dtype) + ln_b.astype(self.dtype)
+        return out
 
 
 class TextEncoder(nn.Module):

@@ -31,18 +31,33 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-            *, eps: float):
-    x = x_ref[...]  # (R, C)
-    xf = x.astype(jnp.float32)
+def _ln(xf, scale, bias, eps):
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
-    xn = xn * scale_ref[...][None, :] + bias_ref[...][None, :]
-    h = jnp.dot(xn.astype(x.dtype), w1_ref[...], preferred_element_type=jnp.float32)
-    h = jax.nn.gelu(h + b1_ref[...][None, :])
-    out = jnp.dot(h.astype(x.dtype), w2_ref[...], preferred_element_type=jnp.float32)
-    o_ref[...] = (xf + out + b2_ref[...][None, :]).astype(x.dtype)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale[None, :] + bias[None, :]
+
+
+def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+            *, eps: float, post_ln: bool):
+    x = x_ref[...]  # (R, C)
+    xf = x.astype(jnp.float32)
+    if post_ln:
+        # BERT form: out = LN(x + FFN(x))
+        h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h + b1_ref[...][None, :])
+        y = jnp.dot(h.astype(x.dtype), w2_ref[...],
+                    preferred_element_type=jnp.float32)
+        y = xf + y + b2_ref[...][None, :]
+        o_ref[...] = _ln(y, scale_ref[...], bias_ref[...], eps).astype(x.dtype)
+    else:
+        # Swin form: out = x + FFN(LN(x))
+        xn = _ln(xf, scale_ref[...], bias_ref[...], eps)
+        h = jnp.dot(xn.astype(x.dtype), w1_ref[...],
+                    preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h + b1_ref[...][None, :])
+        out = jnp.dot(h.astype(x.dtype), w2_ref[...],
+                      preferred_element_type=jnp.float32)
+        o_ref[...] = (xf + out + b2_ref[...][None, :]).astype(x.dtype)
 
 
 def fused_ln_mlp_residual(
@@ -55,16 +70,21 @@ def fused_ln_mlp_residual(
     b2: jnp.ndarray,        # (C,)
     eps: float = 1e-6,
     block_rows: int = 512,
+    post_ln: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     M, C = x.shape
     Hd = w1.shape[1]
-    r = block_rows
-    while M % r != 0:  # static divisor (M is a multiple of 49*... usually 2^k)
-        r //= 2
-        if r == 0:
-            r = M
+    # Mosaic wants the sublane block dim divisible by 8 OR equal to the full
+    # array dim: pick the largest 8-multiple divisor of M <= block_rows,
+    # falling back to the whole array in one block.
+    r = M
+    cand = (block_rows // 8) * 8
+    while cand >= 8:
+        if M % cand == 0:
+            r = cand
             break
+        cand -= 8
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     vm = dict(memory_space=pltpu.VMEM) if (_HAS_PLTPU and not interpret) else {}
@@ -79,7 +99,7 @@ def fused_ln_mlp_residual(
             transcendentals=M * Hd,
         )
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, post_ln=post_ln),
         out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
         grid=(M // r,),
         in_specs=[
