@@ -240,9 +240,12 @@ class SwinBlock(nn.Module):
         mlp_params = MlpParams(hidden, self.dim, name="mlp")
         (w1, b1), (w2, b2) = mlp_params()
 
+        # fused LN+MLP+residual pays off only where the hidden stream is
+        # HBM-bound (small C); at C>=384 XLA's pipelined GEMMs win (measured)
         if (
             deterministic
             and self.use_pallas
+            and self.dim <= 256
             and jax.default_backend() == "tpu"
         ):
             from mmrp_tpu.ops.fused_mlp import fused_ln_mlp_residual

@@ -32,6 +32,7 @@ class TextConfig:
     max_positions: int = 512
     dropout: float = 0.1
     type_vocab_size: int = 2
+    use_fused_ffn: bool = False  # Pallas FFN kernel (slower at BERT shapes)
 
     @staticmethod
     def clinicalbert(**kw) -> "TextConfig":
@@ -107,7 +108,13 @@ class BertLayer(nn.Module):
         w2, b2 = DenseParams(cfg.hidden_dim, name="ffn_out")(cfg.intermediate_dim)
         ln_s, ln_b = LnParams(name="ffn_norm")(cfg.hidden_dim)
 
-        if deterministic and jax.default_backend() == "tpu":
+        # off by default: the BERT FFN is MXU-bound at these shapes and the
+        # fused kernel measured slower than XLA's pipelined GEMMs
+        if (
+            cfg.use_fused_ffn
+            and deterministic
+            and jax.default_backend() == "tpu"
+        ):
             from mmrp_tpu.ops.fused_mlp import fused_ln_mlp_residual
 
             B, L, D = x.shape
