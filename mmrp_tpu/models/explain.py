@@ -190,6 +190,54 @@ class ExplanationEngine:
         )
         return np.asarray(out)
 
+    # -- token-level attribution (explain.py text-IG variants :302-427) --------
+
+    def token_attribution(
+        self,
+        image: np.ndarray,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        target: int,
+        n_steps: int = 16,
+    ) -> np.ndarray:
+        """(B, Lt) normalized IG attribution over projected text tokens:
+        a lax.scan over interpolation of the token-projection delta."""
+        if not hasattr(self, "_tok_ig"):
+            self._tok_ig = {}
+        if n_steps not in self._tok_ig:
+
+            @jax.jit
+            def fn(params, image, ids, mask, target_idx):
+                mp = {"params": params["model"]} if "model" in params else {"params": params}
+                probe = self.model.apply(mp, image, ids, mask, deterministic=True)
+                tokens = probe["txt_tokens_proj"]  # (B, Lt, D)
+
+                def logit_of(delta):
+                    out = self.model.apply(
+                        mp, image, ids, mask, deterministic=True, txt_delta=delta,
+                    )
+                    return out["logits"][:, target_idx].sum()
+
+                grad_fn = jax.grad(logit_of)
+                alphas = (jnp.arange(n_steps) + 0.5) / n_steps
+
+                def body(acc, alpha):
+                    # interpolate tokens from 0 -> actual via delta offset
+                    return acc + grad_fn(tokens * (alpha - 1.0)), None
+
+                total, _ = jax.lax.scan(body, jnp.zeros_like(tokens), alphas)
+                ig = (tokens * total / n_steps).sum(-1)  # (B, Lt)
+                ig = jnp.abs(ig) * mask[:, : ig.shape[1]]
+                return ig / jnp.maximum(ig.max(axis=1, keepdims=True), 1e-8)
+
+            self._tok_ig[n_steps] = fn
+        return np.asarray(
+            self._tok_ig[n_steps](
+                self.params, jnp.asarray(image), jnp.asarray(input_ids),
+                jnp.asarray(attention_mask), target,
+            )
+        )
+
     # -- orchestration (explain.py:800-976) -------------------------------------------
 
     def explain(

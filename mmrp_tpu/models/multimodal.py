@@ -193,6 +193,7 @@ class MultiModalRetrievalModel(nn.Module):
         deterministic: bool = True,
         return_attention: bool = False,
         patch_delta: Optional[jnp.ndarray] = None,
+        txt_delta: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         cfg = self.config
         D = cfg.joint_dim
@@ -208,6 +209,10 @@ class MultiModalRetrievalModel(nn.Module):
             img_patches = img_patches + patch_delta
         img_global = nn.Dense(D, dtype=self.dtype, name="img_global_proj")(feats["img_global"])
         txt_tokens = nn.Dense(D, dtype=self.dtype, name="txt_proj")(feats["txt_tokens"])
+        if txt_delta is not None:
+            # explainability hook: grads w.r.t. this zero input are grads
+            # w.r.t. the projected text tokens (token-level IG/saliency)
+            txt_tokens = txt_tokens + txt_delta
         txt_cls = nn.Dense(D, dtype=self.dtype, name="txt_cls_proj")(feats["txt_cls"])
         txt_mask = attention_mask[:, : txt_tokens.shape[1]]
 
@@ -263,6 +268,7 @@ class MultiModalRetrievalModel(nn.Module):
             "img_emb": img_global.astype(jnp.float32),
             "txt_emb": txt_cls.astype(jnp.float32),
             "img_patches_proj": img_patches.astype(jnp.float32),
+            "txt_tokens_proj": txt_tokens.astype(jnp.float32),
         }
         if return_attention:
             out["attention"] = attn_maps

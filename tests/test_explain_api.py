@@ -134,3 +134,14 @@ def test_predictor_end_to_end(setup, rng):
 
     res2 = pred.predict(img, ids, mask, K=3, explain=True, explain_targets=[0])
     assert 0 in res2["explanation"]["per_target"]
+
+
+def test_token_attribution(setup):
+    model, params, img, ids, mask = setup
+    from mmrp_tpu.models.explain import ExplanationEngine
+
+    eng = ExplanationEngine(model, params, image_hw=(28, 28))
+    attr = eng.token_attribution(img, ids, mask, target=2, n_steps=4)
+    assert attr.shape == (2, 8)
+    assert np.isfinite(attr).all()
+    assert attr.min() >= 0 and attr.max() <= 1.0 + 1e-5
