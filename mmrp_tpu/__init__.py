@@ -23,3 +23,11 @@ Public high-level API (parity with the reference's model-as-API surface):
 __version__ = "0.1.0"
 
 from mmrp_tpu.config import Config  # noqa: F401
+
+
+def __getattr__(name):  # lazy: keep bare `import mmrp_tpu` JAX-free
+    if name == "MMRPredictor":
+        from mmrp_tpu.api import MMRPredictor
+
+        return MMRPredictor
+    raise AttributeError(name)

@@ -1,0 +1,62 @@
+import numpy as np
+
+from mmrp_tpu.serve.app import (
+    _parse_multipart,
+    _png_base64,
+    render_results,
+    token_attention_html,
+)
+
+
+def test_png_base64_roundtrip(rng):
+    g = rng.random((16, 16))
+    b64 = _png_base64(g)
+    assert isinstance(b64, str) and len(b64) > 100
+    b64o = _png_base64(g, overlay=rng.random((16, 16)))
+    assert isinstance(b64o, str)
+
+
+def test_token_attention_html_escapes():
+    html = token_attention_html(["<script>", "heart"], [0.9, 0.1])
+    assert "<script>" not in html
+    assert "&lt;script&gt;" in html
+    assert "rgba(255,80,80,0.90)" in html
+
+
+def test_multipart_parser():
+    boundary = "XBOUND"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="text_query"\r\n\r\n'
+        "hello world\r\n"
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="dicom_file"; filename="a.dcm"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n"
+        "BINARYDATA\r\n"
+        f"--{boundary}--\r\n"
+    ).encode()
+    fields = _parse_multipart(body, f"multipart/form-data; boundary={boundary}")
+    assert fields["text_query"] == b"hello world"
+    assert fields["dicom_file"] == b"BINARYDATA"
+
+
+def test_render_results_sections():
+    payload = {
+        "top_labels": [("cardiac", 0.9)],
+        "retrieval": [("id1", 0.8)],
+        "images": {"attention": "QUJD"},
+        "token_html": "<span>x</span>",
+        "agreement": {"attn_vs_ig": {"pearson": 0.5, "spearman": 0.4,
+                                     "iou@5%": 0.1, "iou@20%": 0.2}},
+        "latency_ms": 12.0,
+        "retrieval_detail": [
+            {"id": "id1", "score": 0.8, "overlay": "QUJD",
+             "cross_map": {"pearson": 0.3, "iou@20%": 0.1}}
+        ],
+        "retrieval_diversity": 0.4,
+    }
+    html = render_results(payload)
+    for frag in ("cardiac", "Similar cases", "Retrieved case detail",
+                 "diversity", "12.0 ms"):
+        assert frag in html
+    assert render_results({}) == ""
