@@ -305,24 +305,27 @@ class KGTrainer:
                 s, r, o = part[:, 0], part[:, 1], part[:, 2]
                 anchor = s if tails else o
                 target = o if tails else s
-                scores = np.asarray(
+                scores = np.array(  # writable copy — masked in place below
                     fn(self.params, jnp.asarray(anchor), jnp.asarray(r))
                 )  # (b, E)
-                # filter known positives except the target
-                for row in range(len(part)):
-                    key = (int(s[row]), int(r[row])) if tails else (
-                        int(o[row]),
-                        int(r[row]),
-                    )
-                    known = self._known["sr" if tails else "or"].get(key, [])
-                    tgt = int(target[row])
-                    tscore = scores[row, tgt]
-                    srow = scores[row]
+                # vectorized filtered ranking: mask all known positives,
+                # then rank = 1 + #entities scoring above the target
+                b = len(part)
+                tgt = target.astype(np.int64)
+                tscores = scores[np.arange(b), tgt].copy()
+                known_map = self._known["sr" if tails else "or"]
+                anchor_keys = s if tails else o
+                rows_idx, cols_idx = [], []
+                for row in range(b):
+                    known = known_map.get((int(anchor_keys[row]), int(r[row])))
                     if known:
-                        srow = srow.copy()
-                        srow[np.asarray(known)] = -np.inf
-                    rank = 1 + int(np.sum(srow > tscore))
-                    ranks.append(rank)
+                        rows_idx.extend([row] * len(known))
+                        cols_idx.extend(known)
+                if rows_idx:
+                    scores[np.asarray(rows_idx), np.asarray(cols_idx)] = -np.inf
+                ranks.extend(
+                    (1 + (scores > tscores[:, None]).sum(axis=1)).tolist()
+                )
         ranks_arr = np.asarray(ranks, dtype=np.float64)
         out = {"mrr": float(np.mean(1.0 / ranks_arr))}
         for k in ks:

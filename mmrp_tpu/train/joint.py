@@ -152,8 +152,11 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model: MultiModalRetrievalModel) -> Callable:
-    """jitted fn(params, batch) -> {probs, joint_emb, img_emb, txt_emb}."""
+def make_eval_step(
+    model: MultiModalRetrievalModel, return_attention: bool = False
+) -> Callable:
+    """jitted fn(params, batch) -> {probs, joint_emb, img_emb, txt_emb
+    [, patch_attention (B, Np)]}."""
 
     @jax.jit
     def eval_step(params, batch):
@@ -163,12 +166,25 @@ def make_eval_step(model: MultiModalRetrievalModel) -> Callable:
             batch["input_ids"],
             batch["attention_mask"],
             deterministic=True,
+            return_attention=return_attention,
         )
-        return {
+        res = {
             "probs": jax.nn.sigmoid(out["logits"]),
             "joint_emb": out["joint_emb"],
             "img_emb": out["img_emb"],
             "txt_emb": out["txt_emb"],
         }
+        if return_attention:
+            # head/layer/token-averaged txt->img weights: (B, Np) — the
+            # per-sample attention vector the reference persists at the
+            # best epoch (train.py:730-734, 805-816)
+            t2i = jnp.stack([a["txt2img"] for a in out["attention"]])
+            w = batch["attention_mask"][:, : t2i.shape[3]].astype(t2i.dtype)
+            t2i = t2i.mean(axis=(0, 2))  # (B, Lt, Np)
+            t2i = (t2i * w[:, :, None]).sum(1) / jnp.maximum(
+                w.sum(1, keepdims=True), 1.0
+            )
+            res["patch_attention"] = t2i
+        return res
 
     return eval_step

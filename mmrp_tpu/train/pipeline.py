@@ -85,7 +85,7 @@ def run_joint_training(
         state = state.replace(params=sharded, opt_state=state.tx.init(sharded))
 
     train_step = make_train_step(model, cfg, pw, donate=False)
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, return_attention=True)
 
     best = {"composite": -1.0}
     best_state = state
@@ -104,7 +104,7 @@ def run_joint_training(
             step += 1
 
         # ---- validation (train.py:620-704) ----
-        probs, ys, embs, ids = [], [], [], []
+        probs, ys, embs, ids, attns = [], [], [], [], []
         for batch in val_loader:
             jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
             out_b = eval_step(state.params, jb)
@@ -112,8 +112,11 @@ def run_joint_training(
             probs.append(np.asarray(out_b["probs"])[keep])
             ys.append(np.asarray(batch["labels"])[keep])
             embs.append(np.asarray(out_b["joint_emb"])[keep])
+            attns.append(np.asarray(out_b["patch_attention"])[keep])
             ids.extend([i for i, k in zip(batch["ids"], keep) if k])
-        probs_a, ys_a, embs_a = map(np.concatenate, (probs, ys, embs))
+        probs_a, ys_a, embs_a, attn_a = map(
+            np.concatenate, (probs, ys, embs, attns)
+        )
         th = find_best_thresholds(ys_a, probs_a)
         names = list(class_names or [f"c{i}" for i in range(ys_a.shape[1])])
         rep = per_class_report(ys_a, probs_a, th, names)
@@ -131,8 +134,12 @@ def run_joint_training(
             best_state = state
             bad = 0
             np.save(out / "val_embeddings.npy", embs_a)
+            np.save(out / "val_attention.npy", attn_a)  # train.py:730-734
             (out / "val_ids.json").write_text(json.dumps(ids))
             np.save(out / "thresholds.npy", th)
+            (out / "val_per_class.json").write_text(
+                json.dumps(rep["per_class"], indent=1, default=float)
+            )
         else:
             bad += 1
             if bad >= cfg.patience:
