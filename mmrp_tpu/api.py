@@ -30,8 +30,10 @@ class MMRPredictor:
         label_names: Sequence[str],
         retriever: Optional[RetrievalEngine] = None,
         reranker: Optional[Reranker] = None,
-        threshold: float = 0.5,
+        threshold: "float | np.ndarray" = 0.5,
     ):
+        # threshold may be a scalar or the per-class calibrated vector the
+        # trainer saves (thresholds.npy; reference train.py:620-704)
         self.model = model
         self.params = params
         self.label_names = list(label_names)
@@ -103,6 +105,7 @@ class MMRPredictor:
         explain_targets: Optional[Sequence[int]] = None,
     ) -> Dict[str, Any]:
         thr = self.threshold if threshold is None else threshold
+        thr = np.asarray(thr)
         out = self.embed(image, input_ids, attention_mask)
         probs = out["probs"]
         B = probs.shape[0]

@@ -111,6 +111,14 @@ def cmd_kg_probe(args) -> int:
     return 0
 
 
+def cmd_mapper(args) -> int:
+    from mmrp_tpu.kg.ontology import run_mapper
+
+    written = run_mapper(args.out)
+    print(json.dumps(written, indent=1))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from mmrp_tpu.serve.runner import build_demo_context
     from mmrp_tpu.serve.app import serve
@@ -164,6 +172,10 @@ def main(argv=None) -> int:
     p.add_argument("--kg-dir", required=True)
     p.add_argument("--out-file", default=None)
     p.set_defaults(fn=cmd_kg_probe)
+
+    p = sub.add_parser("mapper", help="label -> ontology mapping runner")
+    p.add_argument("--out", default="runs/ontology")
+    p.set_defaults(fn=cmd_mapper)
 
     p = sub.add_parser("serve", help="web demo")
     p.add_argument("--run-dir", required=True)

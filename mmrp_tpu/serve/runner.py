@@ -67,9 +67,29 @@ def build_demo_context(run_dir: str) -> Dict[str, Any]:
                 kg_node_embeddings=np.load(kg_dir / "node_embeddings.npy"),
                 kg_node2id=json.loads((kg_dir / "node2id.json").read_text()),
             )
+        # attention pooling of label-node vectors when a LabelAttention
+        # checkpoint exists (reference reranker.py:61-86)
+        label_pooler = None
+        la_ckpt = run / "label_attention.npz"
+        if la_ckpt.exists() and "kg_node_embeddings" in kg_kwargs:
+            from mmrp_tpu.kg.label_attention import LabelAttentionTrainer
+            import jax.numpy as jnp
+
+            la = LabelAttentionTrainer.from_checkpoint(
+                str(la_ckpt), kg_kwargs["kg_node_embeddings"]
+            )
+
+            def label_pooler(vecs):  # (k, D) -> (D,)
+                embs = jnp.asarray(vecs)[None]
+                pooled, _ = la.model.apply(
+                    la.params, embs, jnp.ones((1, embs.shape[1]))
+                )
+                return np.asarray(pooled[0])
+
         reranker = Reranker(
             alpha=cfg.rerank_alpha, beta=cfg.rerank_beta, gamma=cfg.rerank_gamma,
-            labels_by_id=labels_by_id, label_names=LABEL_COLS, **kg_kwargs,
+            labels_by_id=labels_by_id, label_names=LABEL_COLS,
+            label_pooler=label_pooler, **kg_kwargs,
         )
 
     predictor = MMRPredictor(model, params, LABEL_COLS, retriever, reranker)
