@@ -89,21 +89,48 @@ class SwinConfig:
 
 
 class PatchEmbed(nn.Module):
+    """Patch embedding as space-to-depth + matmul.
+
+    Mathematically identical to the stride-ps conv (non-overlapping patches)
+    but avoids TPU's inefficient tiny-input-channel convolution: the pixels
+    are regrouped to (B, H/ps, W/ps, ps*ps*C) and hit the MXU as one GEMM.
+    The parameter keeps nn.Conv's (ps, ps, C, D) kernel layout so ported
+    checkpoints (models/port.py) load unchanged.
+    """
+
     embed_dim: int
     patch_size: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            dtype=self.dtype,
-            name="proj",
-        )(x)
+        B, H, W, C = x.shape
+        ps = self.patch_size
+        k, b = ConvParams(self.embed_dim, ps, C, name="proj")()
+        x = x.reshape(B, H // ps, ps, W // ps, ps, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // ps, W // ps, ps * ps * C)
+        w = k.reshape(ps * ps * C, self.embed_dim)  # (kh, kw, in) flatten order
+        x = x.astype(self.dtype) @ w.astype(self.dtype) + b.astype(self.dtype)
         x = nn.LayerNorm(dtype=self.dtype)(x)
         return x  # (B, H/ps, W/ps, embed_dim)
+
+
+class ConvParams(nn.Module):
+    """(kh, kw, in, out) kernel + bias with nn.Conv's tree layout."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
 
 
 class MlpParams(nn.Module):
