@@ -355,6 +355,34 @@ class KGTrainer:
             )
 
     @staticmethod
+    def ensure_label_embeddings(
+        kg_dir: str,
+        label_names: Sequence[str],
+        out_path: Optional[str] = None,
+    ) -> Dict[str, np.ndarray]:
+        """label group -> embedding vector from the trained node table, with
+        a zero-vector fallback for labels missing from the graph (reference
+        kg_label_create.py:38-111; npz instead of .pt)."""
+        kg = Path(kg_dir)
+        emb = np.load(kg / "node_embeddings.npy")
+        node2id = json.loads((kg / "node2id.json").read_text())
+        out: Dict[str, np.ndarray] = {}
+        missing = []
+        for name in label_names:
+            idx = node2id.get(f"label:{name}")
+            if idx is None:
+                missing.append(name)
+                out[name] = np.zeros(emb.shape[1], np.float32)
+            else:
+                out[name] = np.asarray(emb[idx], np.float32)
+        if missing:
+            print(f"[KGTrainer] zero-filled {len(missing)} label embeddings: "
+                  f"{missing[:5]}...")
+        if out_path:
+            np.savez_compressed(out_path, **out)
+        return out
+
+    @staticmethod
     def load_embeddings(
         out_dir: str,
         expected_dim: Optional[int] = None,

@@ -334,3 +334,21 @@ def test_ontology_mapper_cascade(tmp_path):
     # cache persisted
     m2 = OntologyMapper(known, cache_path=str(tmp_path / "c.json"))
     assert m2.map_label("opacity") == "RADLEX:999"
+
+
+def test_ensure_label_embeddings(rng, tmp_path):
+    import json as _json
+
+    emb = rng.standard_normal((4, 6)).astype(np.float32)
+    np.save(tmp_path / "node_embeddings.npy", emb)
+    (tmp_path / "node2id.json").write_text(
+        _json.dumps({"label:cardiac": 1, "label:Normal": 3, "report:x": 0})
+    )
+    table = KGTrainer.ensure_label_embeddings(
+        str(tmp_path), ["cardiac", "Normal", "missing_grp"],
+        out_path=str(tmp_path / "label_embs.npz"),
+    )
+    np.testing.assert_allclose(table["cardiac"], emb[1])
+    np.testing.assert_allclose(table["missing_grp"], np.zeros(6))
+    z = np.load(tmp_path / "label_embs.npz")
+    np.testing.assert_allclose(z["Normal"], emb[3])
