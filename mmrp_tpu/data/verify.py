@@ -164,6 +164,49 @@ class LabelVerifier:
         os.replace(tmp, p)
 
 
+def gemini_client_from_env(
+    model: str = "gemini-2.5-flash",
+    env_var: str = "GEMINI_KEYS",
+) -> Optional[Callable[[str], str]]:
+    """Build a rotating-key Gemini ``complete`` callable from the environment.
+
+    Reference behavior (verify_labels_with_gemini.py:69-118,289-295): >=20
+    comma-separated keys in ``GEMINI_KEYS``, rotate on quota errors, evict
+    invalid keys. Returns None when the SDK or keys are absent (offline
+    mode) — callers fall back to cached/Unknown verdicts.
+    """
+    keys = [k.strip() for k in os.environ.get(env_var, "").split(",") if k.strip()]
+    if not keys:
+        return None
+    try:
+        from google import genai  # type: ignore
+    except ImportError:
+        return None
+
+    state = {"idx": 0, "keys": list(keys)}
+
+    def complete(prompt: str) -> str:
+        last_err: Optional[Exception] = None
+        for _ in range(len(state["keys"])):
+            key = state["keys"][state["idx"] % len(state["keys"])]
+            try:
+                client = genai.Client(api_key=key)
+                resp = client.models.generate_content(model=model, contents=prompt)
+                return resp.text or ""
+            except Exception as e:  # noqa: BLE001 — rotate / evict and retry
+                last_err = e
+                msg = str(e).lower()
+                if "invalid" in msg or "unauthorized" in msg:
+                    state["keys"].remove(key)  # evict dead key
+                    if not state["keys"]:
+                        break
+                else:
+                    state["idx"] += 1  # quota/transient: rotate
+        raise RuntimeError(f"all Gemini keys failed: {last_err}")
+
+    return complete
+
+
 def apply_verdicts(
     records: Sequence[dict],
     verdicts: Dict[str, Verdict],
