@@ -156,3 +156,14 @@ class MMRPredictor:
         **kw,
     ) -> Dict[str, Any]:
         return self.explainer.explain(image, input_ids, attention_mask, targets, **kw)
+
+    # -- construction from a trained run -------------------------------------
+
+    @classmethod
+    def from_run_dir(cls, run_dir: str) -> "MMRPredictor":
+        """Load a predictor from a training-run directory (checkpoint,
+        gallery, reranker inputs) — the reference's inference constructor
+        (model.py:281-309) as a one-liner."""
+        from mmrp_tpu.serve.runner import build_demo_context
+
+        return build_demo_context(run_dir)["predictor"]
