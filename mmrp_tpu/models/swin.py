@@ -5,10 +5,14 @@ From-scratch Swin for TPU — the reference consumes timm's
 patches for the global vector (reference: src/Model/fusion.py:189-265).
 This implementation keeps the same architecture family (patch-embed 4x4,
 4 stages, window 7, shifted windows, relative position bias, patch merging)
-but is built on the framework's windowed-attention op
-(mmrp_tpu/ops/window_attention.py) with its static combined-bias design:
-every block's relative bias + shift mask + padding collapse into one
-additive tensor so the hot loop is batched matmuls the MXU tiles cleanly.
+but runs on the framework's own attention ops: at inference on TPU each
+block's first half (LN + qkv + window attention + proj + residual) is ONE
+fused Pallas kernel (ops/fused_window_attention.py) and the MLP half fuses
+at bandwidth-bound widths (ops/fused_mlp.py); training and CPU use the
+autodiff-able un-padded XLA formulation (ops/window_attention.py). Static
+per-layer bias tensors fold relative-position bias + shifted-window masks.
+Patch embedding is a space-to-depth GEMM with conv-compatible parameters.
+See docs/KERNELS.md for the measured rationale.
 
 Presets: ``tiny`` (96, [2,2,6,2]) and ``base`` (128, [2,2,18,2]) — final
 feature dim 768 / 1024, 49 patches at 224x224, matching the shapes the rest
@@ -27,10 +31,8 @@ from flax import linen as nn
 
 from mmrp_tpu.models.layers import DenseParams, DropPath, LnParams, Mlp
 from mmrp_tpu.ops.window_attention import (
-    build_combined_bias,
     build_rel_bias,
     shift_attn_mask,
-    window_attention,
     window_attention_xla_direct,
     window_partition,
     window_reverse,
