@@ -98,15 +98,22 @@ def fused_window_attention_windows(
     b_proj: jnp.ndarray,   # (C,)
     bias_full: jnp.ndarray,  # (nW, h, N, N) f32: rel bias + shift mask
     num_heads: int,
-    block_windows: int = 8,
+    block_windows: Optional[int] = None,
     ln_eps: float = 1e-6,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Returns x + proj(attention(LN(x))) in window layout."""
+    import os
+
+    if block_windows is None:
+        block_windows = int(os.environ.get("MMRP_WBLK", "16"))
     B, nW, N, C = xw.shape
     d = C // num_heads
     scale = d**-0.5
-    wblk = block_windows if nW % block_windows == 0 else 1
+    wblk = block_windows
+    while wblk > 1 and nW % wblk:
+        wblk //= 2
+    wblk = max(wblk, 1)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -122,24 +129,29 @@ def fused_window_attention_windows(
             bytes_accessed=2 * B * nW * N * C * 2 + bias_full.size * 4,
             transcendentals=B * nW * num_heads * N * N,
         )
+    # Grid order (window-block OUTER, batch INNER): the bias block's index
+    # map depends only on the window dim, so consecutive batch iterations
+    # reuse the VMEM-resident bias instead of re-DMA-ing it per image —
+    # bias traffic drops from B*nW*h*N^2 to nW*h*N^2 (measured multi-ms at
+    # stage-1 shapes where the padded f32 bias is the largest stream).
     return pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, scale=scale,
                           block_windows=wblk, ln_eps=ln_eps),
         out_shape=jax.ShapeDtypeStruct((B, nW, N, C), xw.dtype),
-        grid=(B, nW // wblk),
+        grid=(nW // wblk, B),
         in_specs=[
-            pl.BlockSpec((1, wblk, N, C), lambda b, w: (b, w, 0, 0), **vm),
-            pl.BlockSpec((C,), lambda b, w: (0,), **vm),
-            pl.BlockSpec((C,), lambda b, w: (0,), **vm),
-            pl.BlockSpec((C, 3 * C), lambda b, w: (0, 0), **vm),
-            pl.BlockSpec((3 * C,), lambda b, w: (0,), **vm),
-            pl.BlockSpec((C, C), lambda b, w: (0, 0), **vm),
-            pl.BlockSpec((C,), lambda b, w: (0,), **vm),
+            pl.BlockSpec((1, wblk, N, C), lambda w, b: (b, w, 0, 0), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C, 3 * C), lambda w, b: (0, 0), **vm),
+            pl.BlockSpec((3 * C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C, C), lambda w, b: (0, 0), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
             pl.BlockSpec(
-                (wblk, num_heads, N, N), lambda b, w: (w, 0, 0, 0), **vm
+                (wblk, num_heads, N, N), lambda w, b: (w, 0, 0, 0), **vm
             ),
         ],
-        out_specs=pl.BlockSpec((1, wblk, N, C), lambda b, w: (b, w, 0, 0), **vm),
+        out_specs=pl.BlockSpec((1, wblk, N, C), lambda w, b: (b, w, 0, 0), **vm),
         interpret=interpret,
         **kwargs,
     )(xw, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias_full)

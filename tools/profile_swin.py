@@ -57,9 +57,11 @@ def main():
     }
     heads = (3, 6, 12, 24)
     for name, depths in variants.items():
+        import os
         cfg = SwinConfig(img_size=224, embed_dim=96, depths=depths,
                          num_heads=heads[: len(depths)], window_size=7,
-                         use_pallas=False, drop_path_rate=0.0)
+                         use_pallas=os.environ.get("PROFILE_PALLAS", "1") == "1",
+                         drop_path_rate=0.0)
         enc = SwinEncoder(cfg, dtype=jnp.bfloat16)
         p = enc.init(jax.random.PRNGKey(0), img[:1])
 
