@@ -49,43 +49,60 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     h = num_heads
     d = C // h
 
-    for w in range(block_windows):  # static unroll
-        x_raw = x_ref[0, w]  # (N, C)
-        xf = x_raw.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-        xw = (
-            (xf - mu) * jax.lax.rsqrt(var + ln_eps) * ln_s_ref[...][None, :]
-            + ln_b_ref[...][None, :]
-        ).astype(x_raw.dtype)
-        qkv = (
-            jnp.dot(xw, wqkv_ref[...], preferred_element_type=jnp.float32)
-            + bqkv_ref[...][None, :]
-        ).astype(xw.dtype)  # (N, 3C)
+    # Phase 1 — LN (batched 3D elementwise) + per-window qkv GEMMs.
+    # Rank-3 x rank-2 dot_general lowers to an unsupported flattening cast
+    # and broadcast-weight batched contraction SIGABRTs the compiler, so
+    # the qkv/proj GEMMs stay per-window 2D.
+    x3 = x_ref[0]  # (WBLK, N, C)
+    xf3 = x3.astype(jnp.float32)
+    mu = jnp.mean(xf3, axis=-1, keepdims=True)
+    var = jnp.mean((xf3 - mu) ** 2, axis=-1, keepdims=True)
+    xn3 = (
+        (xf3 - mu) * jax.lax.rsqrt(var + ln_eps) * ln_s_ref[...][None, None, :]
+        + ln_b_ref[...][None, None, :]
+    ).astype(x3.dtype)
+    qkv_b3 = jnp.stack(
+        [
+            (
+                jnp.dot(xn3[w], wqkv_ref[...], preferred_element_type=jnp.float32)
+                + bqkv_ref[...][None, :]
+            ).astype(x3.dtype)
+            for w in range(block_windows)
+        ],
+        axis=0,
+    )  # (WBLK, N, 3C) — stack, not reshape
 
-        outs = []
-        for head in range(h):  # per-head lane slices
-            q = qkv[:, head * d : (head + 1) * d]
-            k = qkv[:, C + head * d : C + (head + 1) * d]
-            v = qkv[:, 2 * C + head * d : 2 * C + (head + 1) * d]
-            scores = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+    # Phase 2 — attention batched over windows: per head, TWO 3D dot_generals
+    # instead of 2*WBLK tiny dependent 2D matmuls (the serialized mini-matmul
+    # chain measured 5.9 ms/block in the profiler).
+    head_outs = []
+    for head in range(h):  # per-head lane slices of the fused qkv
+        q = qkv_b3[:, :, head * d : (head + 1) * d]            # (WBLK, N, d)
+        k = qkv_b3[:, :, C + head * d : C + (head + 1) * d]
+        v = qkv_b3[:, :, 2 * C + head * d : 2 * C + (head + 1) * d]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (WBLK, N, N)
+        scores = scores * scale + bias_ref[:, head]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv_b3.dtype)
+        head_outs.append(
+            jax.lax.dot_general(
+                p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # (N, N)
-            scores = scores * scale + bias_ref[w, head]
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(xw.dtype)
-            outs.append(
-                jnp.dot(p, v, preferred_element_type=jnp.float32).astype(xw.dtype)
-            )  # (N, d)
-        attn = jnp.concatenate(outs, axis=-1)  # (N, C) — lane concat
+            ).astype(qkv_b3.dtype)  # (WBLK, N, d)
+        )
+    attn_b3 = jnp.concatenate(head_outs, axis=-1)  # (WBLK, N, C)
 
+    # Phase 3 — per-window proj GEMMs + residual.
+    for w in range(block_windows):
         proj = (
-            jnp.dot(attn, wproj_ref[...], preferred_element_type=jnp.float32)
+            jnp.dot(attn_b3[w], wproj_ref[...], preferred_element_type=jnp.float32)
             + bproj_ref[...][None, :]
         )
-        o_ref[0, w] = (xf + proj).astype(x_raw.dtype)  # fused residual
+        o_ref[0, w] = (xf3[w] + proj).astype(x_ref.dtype)  # fused residual
 
 
 def fused_window_attention_windows(
