@@ -1,0 +1,65 @@
+"""Driver-contract regression tests for __graft_entry__.py.
+
+Round-1 failure mode: the driver invokes ``dryrun_multichip(8)`` in an
+environment where jax sees ONE tunneled TPU device (axon sitecustomize
+re-forces JAX_PLATFORMS), and the entry module took ``jax.devices()``
+as-is -> "mesh (4, 2) != 1 devices". The entry must self-bootstrap a
+virtual CPU mesh (config pin before backend init, subprocess re-exec
+after).
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _clean_env(**extra):
+    env = dict(os.environ)
+    # Simulate the driver: no helpful XLA flags, platform left to site
+    # customization (or unset).
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("_MMRP_DRYRUN_SUBPROC", None)
+    env.update(extra)
+    return env
+
+
+def test_dryrun_multichip_bootstraps_virtual_mesh():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "__graft_entry__.py"), "8"],
+        env=_clean_env(),
+        cwd=str(REPO),
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
+
+
+def test_dryrun_multichip_reexecs_when_jax_preinitialized():
+    # jax already up with a single CPU device -> flags can't take effect in
+    # process; the entry must fall back to a clean subprocess.
+    code = (
+        "import os;"
+        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=1';"
+        "import jax;"
+        "jax.config.update('jax_platforms','cpu');"
+        "assert len(jax.devices())==1;"
+        "import __graft_entry__;"
+        "__graft_entry__.dryrun_multichip(8);"
+        "print('FALLBACK_OK')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=_clean_env(),
+        cwd=str(REPO),
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "FALLBACK_OK" in proc.stdout
