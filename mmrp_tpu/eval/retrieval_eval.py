@@ -50,7 +50,9 @@ def evaluate_gallery(
             ranked = reranker.rerank(qid, cand_ids, cand_embs, query_embs[i], topk=k)
             hits = [(r[0], r[1]) for r in ranked]
         times.append((time.perf_counter() - t0) * 1e3)
-        retrieved.append([h[0] for h in hits])
+        # order-preserving dedupe: a duplicated gallery id must not be
+        # double-counted as two hits (AP/P@K would exceed 1)
+        retrieved.append(list(dict.fromkeys(h[0] for h in hits)))
         relevant.append(set(gt.get(qid, [])))
 
     out = {

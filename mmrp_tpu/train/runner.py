@@ -135,7 +135,10 @@ def run_training_pipeline(
                         image_size=cfg.image_size)
     test_loader = build_dataloader(test_ds, cfg.batch_size, shuffle=False)
     dump_embeddings(model, result.state.params, test_loader, str(out / "test"))
-    dump_embeddings(model, result.state.params, train_loader, str(out / "train"))
+    # NOT train_loader: the weighted sampler draws with replacement, which
+    # would put duplicate rows in (and drop rows from) the gallery dump
+    train_dump_loader = build_dataloader(train_ds, cfg.batch_size, shuffle=False)
+    dump_embeddings(model, result.state.params, train_dump_loader, str(out / "train"))
 
     test_emb = np.load(out / "test_embeddings.npy")
     test_ids = json.loads((out / "test_ids.json").read_text())

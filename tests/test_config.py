@@ -61,3 +61,23 @@ def test_kg_model_kwargs():
     assert Config().kg_model_kwargs == {}
     kw = Config(kg_model="CompGCN").kg_model_kwargs
     assert kw == {"num_layers": 2, "dropout": 0.3, "opn": "corr"}
+
+
+def test_shipped_config_yaml_loads_clean(capsys):
+    """The canonical configs/config.yaml must load with NO unknown keys and
+    carry the flagship defaults (parity: reference configs/config.yaml)."""
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "configs" / "config.yaml"
+    cfg = Config.load(str(path))
+    out = capsys.readouterr().out
+    assert "[WARN] Unknown keys" not in out
+    assert cfg.joint_dim == 1024
+    assert cfg.image_backbone == "swin"
+    assert cfg.kg_model == "CompGCN"
+    assert cfg.kg_opn == "corr"
+    assert cfg.cls_weight == 5.0
+    assert cfg.kg_weight == 0.5
+    assert cfg.pos_weight_clamp_max == 5.0
+    assert cfg.use_pallas_attention is True
+    assert cfg.dtype_policy == "bf16"

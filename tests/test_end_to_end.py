@@ -12,7 +12,6 @@ import numpy as np
 import pytest
 
 from mmrp_tpu.cli import main as cli_main
-from mmrp_tpu.config import Config
 from mmrp_tpu.data import dicom as D
 from mmrp_tpu.labels import LABEL_COLS
 
@@ -62,19 +61,41 @@ def test_data_cli_and_training_pipeline(fixture_dirs, tmp_path_factory):
     assert (out / "records_cache.json").exists()
     assert (out / "splits" / "train_ids.json").exists()
 
-    from mmrp_tpu.train.runner import run_training_pipeline
+    # Drive training through the CLI + the SHIPPED config asset
+    # (configs/config.yaml), with size knobs shrunk for CI — this covers
+    # Config.load coercion end to end on the real entry path.
+    import yaml
 
-    cfg = Config(
+    from tests.test_graft_entry import REPO
+
+    tiny = yaml.safe_load((REPO / "configs" / "config.yaml").read_text())
+    tiny.update(
         image_backbone="swin_micro", image_size=28, joint_dim=32,
         num_fusion_layers=1, num_heads=2, text_dim=16, batch_size=4,
         epochs=2, patience=3, kg_epochs=2, kg_emb_dim=16, kg_neg_size=4,
-        lr=1e-3, use_pallas_attention=False,
+        lr=1e-3, use_pallas_attention=False, augment=False,
+        kg_model="TransE", la_epochs=2,
     )
-    summary = run_training_pipeline(cfg, data_dir=str(out), out_dir=str(out / "train"))
+    cfg_path = out / "tiny_config.yaml"
+    cfg_path.write_text(yaml.safe_dump(tiny))
+    rc = cli_main([
+        "train", "--config", str(cfg_path), "--data", str(out),
+        "--out", str(out / "train"),
+    ])
+    assert rc == 0
+    summary = json.loads((out / "train" / "pipeline_summary.json").read_text())
     assert "joint" in summary and "retrieval" in summary
     assert np.isfinite(summary["joint"]["composite"])
     gen = summary["retrieval"]["generalization"]
     assert "P@10" in gen and "p50_ms" in gen
+    # gallery dumps must be duplicate-free (regression: the weighted
+    # training sampler draws with replacement; dumping from it produced
+    # duplicate gallery rows and mAP > 1)
+    train_ids = json.loads((out / "train" / "train_ids.json").read_text())
+    assert len(train_ids) == len(set(train_ids))
+    for key in ("generalization", "historical"):
+        for m in ("P@10", "mAP", "MRR", "nDCG@10"):
+            assert 0.0 <= summary["retrieval"][key][m] <= 1.0
     # artifacts for serving
     assert (out / "train" / "test_embeddings.npy").exists()
     assert (out / "train" / "vocab.txt").exists()
