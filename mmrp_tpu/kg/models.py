@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmrp_tpu.ops.kg_ops import compose, segment_mean_messages
+from mmrp_tpu.ops.kg_ops import compose
 
 
 @dataclass(frozen=True)
@@ -65,17 +65,24 @@ def init_params(cfg: KGModelConfig, rng: jax.Array) -> Dict[str, jnp.ndarray]:
         }
     elif cfg.name == "CompGCN":
         init = jax.nn.initializers.glorot_uniform()
-        keys = jax.random.split(kw, 3 * cfg.num_layers + 1)
+        keys = jax.random.split(kw, 5 * cfg.num_layers)
         params = {
             "ent": init(ke, (E, D)),
-            # separate relation embeddings per direction handled via w_rel
             "rel": init(kr, (R, D)),
         }
+        # per-layer parameter set mirrors the reference conv
+        # (compgcn_conv.py:37-47): distinct in/out/loop/rel weights, a
+        # learned self-loop relation, bias, and BatchNorm scale/offset
         for layer in range(cfg.num_layers):
-            params[f"w_in_{layer}"] = init(keys[3 * layer], (D, D))
-            params[f"w_out_{layer}"] = init(keys[3 * layer + 1], (D, D))
-            params[f"w_rel_{layer}"] = init(keys[3 * layer + 2], (D, D))
+            k = keys[5 * layer : 5 * layer + 5]
+            params[f"w_in_{layer}"] = init(k[0], (D, D))
+            params[f"w_out_{layer}"] = init(k[1], (D, D))
+            params[f"w_loop_{layer}"] = init(k[2], (D, D))
+            params[f"w_rel_{layer}"] = init(k[3], (D, D))
+            params[f"loop_rel_{layer}"] = init(k[4], (1, D))
             params[f"bias_{layer}"] = jnp.zeros((D,))
+            params[f"bn_scale_{layer}"] = jnp.ones((D,))
+            params[f"bn_bias_{layer}"] = jnp.zeros((D,))
     else:  # TransE
         init = jax.nn.initializers.glorot_uniform()
         params = {"ent": init(ke, (E, D)), "rel": init(kr, (R, D))}
@@ -113,48 +120,117 @@ def _rotate_score(s_e, r_phase, o_e, gamma):
 
 
 def compgcn_propagate(
-    cfg: KGModelConfig, params: Dict[str, jnp.ndarray]
+    cfg: KGModelConfig,
+    params: Dict[str, jnp.ndarray],
+    rng: Optional[jax.Array] = None,
+    training: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run the CompGCN conv stack -> (entity_table, relation_table)."""
+    """Run the CompGCN conv stack -> (entity_table, relation_table).
+
+    Per-layer math follows the reference conv (compgcn_conv.py:50-108):
+
+        in_res   = scatter_add(norm_in  * compose(x[src], rel[er]) @ W_in,  dst)
+        out_res  = scatter_add(norm_out * compose(x[dst], rel[er]) @ W_out, src)
+        loop_res = compose(x, loop_rel) @ W_loop                (no norm)
+        x'  = relu(BN(drop(in_res)/3 + drop(out_res)/3 + loop_res/3 + bias))
+        rel' = concat(rel, loop_rel) @ W_rel   [loop row dropped]
+
+    with norm = deg^-1/2[row] * deg^-1/2[col] (compute_norm). The out
+    direction runs over PROPER inverse edges (dst -> src, aggregated at
+    src) — the conv's documented contract; the reference trainer actually
+    feeds un-mirrored edges and silently halves them (KG_Trainer.py:242-252),
+    which we treat as a caller bug, not model semantics. BatchNorm uses
+    batch statistics in both modes: the "batch" is the full entity table on
+    every call, so eval-time batch stats are deterministic and exactly
+    normalize the eval input (there is no train/eval batch distribution
+    shift for running stats to bridge).
+    """
+    from mmrp_tpu.ops.kg_ops import compute_norm
+
     ent, rel = params["ent"], params["rel"]
     src = jnp.asarray(cfg.edge_src)
     dst = jnp.asarray(cfg.edge_dst)
     erel = jnp.asarray(cfg.edge_rel)
     E = cfg.num_entities
+    use_dropout = training and cfg.dropout > 0.0 and rng is not None
+    if use_dropout:
+        drop_keys = jax.random.split(rng, 2 * cfg.num_layers)
+
+    def dropout(x, key):
+        keep = 1.0 - cfg.dropout
+        mask = jax.random.bernoulli(key, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+    norm_in = compute_norm(src, dst, E)   # original edges, aggregated at dst
+    norm_out = compute_norm(dst, src, E)  # inverse edges, aggregated at src
     for layer in range(cfg.num_layers):
-        # in-direction: src -> dst; out-direction: dst -> src (inverse edges)
+        loop_rel = params[f"loop_rel_{layer}"]
         msg_in = compose(ent[src], rel[erel], cfg.opn) @ params[f"w_in_{layer}"]
-        agg_in = segment_mean_messages(msg_in, dst, E)
+        agg_in = jax.ops.segment_sum(
+            msg_in * norm_in[:, None], dst, num_segments=E
+        )
         msg_out = compose(ent[dst], rel[erel], cfg.opn) @ params[f"w_out_{layer}"]
-        agg_out = segment_mean_messages(msg_out, src, E)
-        loop = ent @ params[f"w_in_{layer}"]  # self-loop shares w_in
-        ent = jnp.tanh((agg_in + agg_out + loop) / 3.0 + params[f"bias_{layer}"])
-        rel = rel @ params[f"w_rel_{layer}"]
+        agg_out = jax.ops.segment_sum(
+            msg_out * norm_out[:, None], src, num_segments=E
+        )
+        loop = compose(
+            ent, jnp.broadcast_to(loop_rel, ent.shape), cfg.opn
+        ) @ params[f"w_loop_{layer}"]
+        if use_dropout:
+            agg_in = dropout(agg_in, drop_keys[2 * layer])
+            agg_out = dropout(agg_out, drop_keys[2 * layer + 1])
+        out = (agg_in + agg_out + loop) / 3.0 + params[f"bias_{layer}"]
+        # BatchNorm1d over the entity axis (batch statistics; see docstring)
+        mu = out.mean(axis=0, keepdims=True)
+        var = out.var(axis=0, keepdims=True)
+        out = (out - mu) * jax.lax.rsqrt(var + 1e-5)
+        out = out * params[f"bn_scale_{layer}"] + params[f"bn_bias_{layer}"]
+        ent = jax.nn.relu(out)
+        rel_ext = jnp.concatenate([rel, loop_rel], axis=0)
+        rel = (rel_ext @ params[f"w_rel_{layer}"])[:-1]
     return ent, rel
 
 
-def make_score_fn(cfg: KGModelConfig) -> Callable:
-    """score(params, s_idx, r_idx, o_idx) -> scores; higher = better."""
+def make_tables_fn(cfg: KGModelConfig) -> Callable:
+    """tables(params, rng=None, training=False) -> (ent_table, rel_table).
 
-    def tables(params):
+    For CompGCN this runs the conv stack ONCE; the trainer scores positives
+    and negatives from the same propagated tables, matching the reference's
+    per-step single forward (KG_Trainer.py:561)."""
+
+    def tables(params, rng=None, training=False):
         if cfg.name == "CompGCN":
-            return compgcn_propagate(cfg, params)
+            return compgcn_propagate(cfg, params, rng=rng, training=training)
         return params["ent"], params["rel"]
 
-    def score(params, s, r, o):
-        ent, rel = tables(params)
-        if cfg.name == "TransE":
-            return _transe_score(ent[s], rel[r], ent[o], cfg.p_norm)
-        if cfg.name == "TransH":
-            w = params["norm"][r]
-            return _transe_score(
-                _transh_project(ent[s], w), rel[r], _transh_project(ent[o], w), cfg.p_norm
-            )
-        if cfg.name == "RotatE":
-            return _rotate_score(ent[s], rel[r], ent[o], cfg.gamma)
-        if cfg.name == "CompGCN":
-            return _transe_score(ent[s], rel[r], ent[o], cfg.p_norm)
-        raise ValueError(cfg.name)
+    return tables
+
+
+def score_from_tables(
+    cfg: KGModelConfig, params, ent, rel, s, r, o
+) -> jnp.ndarray:
+    """Score triples given precomputed tables; higher = more plausible."""
+    if cfg.name in ("TransE", "CompGCN"):
+        return _transe_score(ent[s], rel[r], ent[o], cfg.p_norm)
+    if cfg.name == "TransH":
+        w = params["norm"][r]
+        return _transe_score(
+            _transh_project(ent[s], w), rel[r], _transh_project(ent[o], w),
+            cfg.p_norm,
+        )
+    if cfg.name == "RotatE":
+        return _rotate_score(ent[s], rel[r], ent[o], cfg.gamma)
+    raise ValueError(cfg.name)
+
+
+def make_score_fn(cfg: KGModelConfig) -> Callable:
+    """score(params, s_idx, r_idx, o_idx, rng=None, training=False) ->
+    scores; higher = better."""
+    tables = make_tables_fn(cfg)
+
+    def score(params, s, r, o, rng=None, training=False):
+        ent, rel = tables(params, rng=rng, training=training)
+        return score_from_tables(cfg, params, ent, rel, s, r, o)
 
     return score
 

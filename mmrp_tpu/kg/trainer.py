@@ -44,7 +44,6 @@ from mmrp_tpu.kg.models import (
     final_entity_table,
     init_params,
     make_score_all_fn,
-    make_score_fn,
 )
 
 SOURCE_FACTORS = {"curated": 3.0, "extracted": 0.7}
@@ -145,11 +144,50 @@ class KGTrainer:
         )
         self.params = init_params(self.model_cfg, jax.random.PRNGKey(self.cfg.seed))
 
-        # filtered-ranking index of ALL known triples
-        self._known = {"sr": {}, "or": {}}
-        for s, r, o in arr.tolist():
-            self._known["sr"].setdefault((s, r), []).append(o)
-            self._known["or"].setdefault((o, r), []).append(s)
+        # filtered-ranking index of ALL known triples, as a CSR keyed by
+        # anchor*R + rel: one vectorized gather per eval chunk instead of a
+        # per-row Python loop (O(n_triples * avg_degree) host work per eval)
+        self._known = {
+            "sr": self._build_filter_csr(arr[:, 0], arr[:, 1], arr[:, 2]),
+            "or": self._build_filter_csr(arr[:, 2], arr[:, 1], arr[:, 0]),
+        }
+
+    def _build_filter_csr(
+        self, anchors: np.ndarray, rels: np.ndarray, targets: np.ndarray
+    ):
+        """-> (unique_keys sorted, indptr, targets_sorted) with
+        key = anchor * num_relations + rel."""
+        keys = anchors.astype(np.int64) * self.num_relations + rels.astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys_sorted = keys[order]
+        targets_sorted = targets.astype(np.int64)[order]
+        unique_keys, counts = np.unique(keys_sorted, return_counts=True)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        return unique_keys, indptr, targets_sorted
+
+    @staticmethod
+    def _filter_rows_cols(
+        csr, anchors: np.ndarray, rels: np.ndarray, num_relations: int
+    ):
+        """Vectorized (row, col) pairs of known positives for a chunk."""
+        unique_keys, indptr, targets_sorted = csr
+        keys = anchors.astype(np.int64) * num_relations + rels.astype(np.int64)
+        pos = np.searchsorted(unique_keys, keys)
+        pos_c = np.minimum(pos, len(unique_keys) - 1)
+        found = (len(unique_keys) > 0) & (unique_keys[pos_c] == keys)
+        starts = indptr[pos_c]
+        counts = np.where(found, indptr[pos_c + 1] - starts, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return (np.empty(0, np.int64),) * 2
+        rows = np.repeat(np.arange(len(keys), dtype=np.int64), counts)
+        # ragged range gather: offsets within each run, then absolute index
+        run_ends = np.cumsum(counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            run_ends - counts, counts
+        )
+        cols = targets_sorted[np.repeat(starts, counts) + within]
+        return rows, cols
 
     # -- image feature injection (KG_Trainer.py:311-431) -------------------------
 
@@ -177,7 +215,10 @@ class KGTrainer:
 
     def _make_train_step(self):
         cfg = self.cfg
-        score = make_score_fn(self.model_cfg)
+        from mmrp_tpu.kg.models import make_tables_fn, score_from_tables
+
+        tables = make_tables_fn(self.model_cfg)
+        model_cfg = self.model_cfg
         E = self.num_entities
 
         def loss_fn(params, batch, conf, rng):
@@ -187,14 +228,18 @@ class KGTrainer:
                 )
             s, r, o = batch[:, 0], batch[:, 1], batch[:, 2]
             B = s.shape[0]
-            k_ent, k_side, _ = jax.random.split(rng, 3)
+            k_ent, k_side, k_drop = jax.random.split(rng, 3)
             neg_ent = jax.random.randint(k_ent, (B, cfg.neg_size), 0, E)
             corrupt_head = jax.random.bernoulli(k_side, 0.5, (B, 1))
             neg_s = jnp.where(corrupt_head, neg_ent, s[:, None])
             neg_o = jnp.where(corrupt_head, o[:, None], neg_ent)
-            pos_score = score(params, s, r, o)  # (B,)
-            neg_score = score(
-                params,
+            # ONE propagation per step (CompGCN): positives and negatives
+            # score from the same tables (KG_Trainer.py:561), with dropout
+            # active in training mode (compgcn_conv.py:48,78)
+            ent_t, rel_t = tables(params, rng=k_drop, training=True)
+            pos_score = score_from_tables(model_cfg, params, ent_t, rel_t, s, r, o)
+            neg_score = score_from_tables(
+                model_cfg, params, ent_t, rel_t,
                 neg_s.reshape(-1),
                 jnp.repeat(r, cfg.neg_size),
                 neg_o.reshape(-1),
@@ -256,6 +301,7 @@ class KGTrainer:
 
         for epoch in range(cfg.epochs):
             order = np_rng.permutation(n)
+            step_losses = []  # device scalars; ONE sync at epoch end
             for step in range(steps_per_epoch):
                 idx = order[step * B : (step + 1) * B]
                 if len(idx) < B:  # keep shapes static
@@ -268,15 +314,17 @@ class KGTrainer:
                     jnp.asarray(self.train_conf[idx]),
                     sub,
                 )
+                step_losses.append(metrics["loss"])
             self._renorm_entities()
+            epoch_loss = float(np.mean([float(x) for x in step_losses]))
             val = self.evaluate(self.val_arr)
             if metric_writer is not None:
                 metric_writer.log(
-                    {"kg/loss": float(metrics["loss"]), **{f"kg/{k}": v for k, v in val.items()}},
+                    {"kg/loss": epoch_loss, **{f"kg/{k}": v for k, v in val.items()}},
                     step=epoch,
                 )
             if log_every and epoch % log_every == 0:
-                print(f"[KGTrainer] epoch {epoch} loss={float(metrics['loss']):.4f} val={val}")
+                print(f"[KGTrainer] epoch {epoch} loss={epoch_loss:.4f} val={val}")
             if val["mrr"] > best["mrr"]:
                 best = {**val, "epoch": epoch}
                 best_params = jax.tree_util.tree_map(lambda x: x, self.params)
@@ -313,16 +361,12 @@ class KGTrainer:
                 b = len(part)
                 tgt = target.astype(np.int64)
                 tscores = scores[np.arange(b), tgt].copy()
-                known_map = self._known["sr" if tails else "or"]
-                anchor_keys = s if tails else o
-                rows_idx, cols_idx = [], []
-                for row in range(b):
-                    known = known_map.get((int(anchor_keys[row]), int(r[row])))
-                    if known:
-                        rows_idx.extend([row] * len(known))
-                        cols_idx.extend(known)
-                if rows_idx:
-                    scores[np.asarray(rows_idx), np.asarray(cols_idx)] = -np.inf
+                rows_idx, cols_idx = self._filter_rows_cols(
+                    self._known["sr" if tails else "or"],
+                    s if tails else o, r, self.num_relations,
+                )
+                if len(rows_idx):
+                    scores[rows_idx, cols_idx] = -np.inf
                 ranks.extend(
                     (1 + (scores > tscores[:, None]).sum(axis=1)).tolist()
                 )

@@ -21,7 +21,14 @@ import jax.numpy as jnp
 
 
 def ccorr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Circular correlation via rFFT: irfft(conj(rfft(a)) * rfft(b))."""
+    """Circular correlation via rFFT: irfft(conj(rfft(a)) * rfft(b)).
+
+    This is the CompGCN-paper orientation ccorr(a,b)[i] = Σ_k a[k]·b[k+i].
+    The reference's torch version (compgcn_conv.py:14-23) computes the
+    time-reversed variant irfft(rfft(a)·conj(rfft(b))); the difference is a
+    fixed circular index permutation absorbed by the learned weight that
+    immediately follows, so the models are functionally equivalent.
+    """
     d = a.shape[-1]
     fa = jnp.fft.rfft(a, axis=-1)
     fb = jnp.fft.rfft(b, axis=-1)
@@ -37,6 +44,18 @@ def compose(ent: jnp.ndarray, rel: jnp.ndarray, opn: str) -> jnp.ndarray:
     if opn == "mult":
         return ent * rel
     raise ValueError(f"unknown composition op {opn!r}")
+
+
+def compute_norm(
+    row: jnp.ndarray, col: jnp.ndarray, num_nodes: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Reference CompGCN edge normalization (compgcn_conv.py:100-108):
+    deg computed by scatter-add of ones over the SOURCE index, then per-edge
+    norm = deg^-1/2[row] * deg^-1/2[col] (inf -> 0 for isolated nodes)."""
+    ones = jnp.ones_like(row, dtype=dtype)
+    deg = jax.ops.segment_sum(ones, row, num_segments=num_nodes)
+    deg_inv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    return deg_inv[row] * deg_inv[col]
 
 
 def degree_norm(

@@ -352,3 +352,140 @@ def test_ensure_label_embeddings(rng, tmp_path):
     np.testing.assert_allclose(table["missing_grp"], np.zeros(6))
     z = np.load(tmp_path / "label_embs.npz")
     np.testing.assert_allclose(z["Normal"], emb[3])
+
+
+def test_compgcn_layer_math_hand_computed():
+    """One CompGCN layer on a 3-node/2-edge graph, opn='sub', dropout off:
+    assert the exact reference equations (compgcn_conv.py:50-108) — degree
+    norm, distinct in/out/loop weights, loop relation, bias, BatchNorm
+    (batch stats), relu, and the w_rel relation update."""
+    import numpy as np
+
+    from mmrp_tpu.kg.models import KGModelConfig, compgcn_propagate
+
+    E, R, D = 3, 2, 4
+    # edges: 0 -r0-> 1, 2 -r1-> 1
+    src = np.array([0, 2], np.int32)
+    dst = np.array([1, 1], np.int32)
+    erel = np.array([0, 1], np.int32)
+    cfg = KGModelConfig(
+        name="CompGCN", num_entities=E, num_relations=R, emb_dim=D,
+        num_layers=1, dropout=0.0, opn="sub",
+        edge_src=src, edge_dst=dst, edge_rel=erel,
+    )
+    rng = np.random.default_rng(5)
+    params = {
+        "ent": rng.standard_normal((E, D)).astype(np.float32),
+        "rel": rng.standard_normal((R, D)).astype(np.float32),
+        "w_in_0": rng.standard_normal((D, D)).astype(np.float32),
+        "w_out_0": rng.standard_normal((D, D)).astype(np.float32),
+        "w_loop_0": rng.standard_normal((D, D)).astype(np.float32),
+        "w_rel_0": rng.standard_normal((D, D)).astype(np.float32),
+        "loop_rel_0": rng.standard_normal((1, D)).astype(np.float32),
+        "bias_0": rng.standard_normal(D).astype(np.float32),
+        "bn_scale_0": (1 + 0.1 * rng.standard_normal(D)).astype(np.float32),
+        "bn_bias_0": rng.standard_normal(D).astype(np.float32),
+    }
+    jp = {k: jnp.asarray(v) for k, v in params.items()}
+    got_ent, got_rel = compgcn_propagate(cfg, jp)
+
+    ent, rel = params["ent"], params["rel"]
+    # in-direction norm: deg over src -> deg[0]=1, deg[2]=1 (src counts);
+    # norm_e = deg^-1/2[src_e] * deg^-1/2[dst_e] with deg from src scatter
+    deg_src = np.zeros(E); np.add.at(deg_src, src, 1.0)
+    with np.errstate(divide="ignore"):
+        dinv = np.where(deg_src > 0, deg_src ** -0.5, 0.0)
+    n_in = dinv[src] * dinv[dst]
+    deg_dst = np.zeros(E); np.add.at(deg_dst, dst, 1.0)
+    with np.errstate(divide="ignore"):
+        dinv2 = np.where(deg_dst > 0, deg_dst ** -0.5, 0.0)
+    n_out = dinv2[dst] * dinv2[src]
+
+    agg_in = np.zeros((E, D), np.float32)
+    for e in range(2):
+        msg = (ent[src[e]] - rel[erel[e]]) @ params["w_in_0"] * n_in[e]
+        agg_in[dst[e]] += msg
+    agg_out = np.zeros((E, D), np.float32)
+    for e in range(2):
+        msg = (ent[dst[e]] - rel[erel[e]]) @ params["w_out_0"] * n_out[e]
+        agg_out[src[e]] += msg
+    loop = (ent - params["loop_rel_0"]) @ params["w_loop_0"]
+    out = (agg_in + agg_out + loop) / 3.0 + params["bias_0"]
+    mu, var = out.mean(0), out.var(0)
+    out = (out - mu) / np.sqrt(var + 1e-5)
+    out = out * params["bn_scale_0"] + params["bn_bias_0"]
+    want_ent = np.maximum(out, 0.0)
+    want_rel = (
+        np.concatenate([rel, params["loop_rel_0"]], axis=0) @ params["w_rel_0"]
+    )[:-1]
+
+    np.testing.assert_allclose(np.asarray(got_ent), want_ent, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_rel), want_rel, rtol=1e-4, atol=1e-5)
+
+
+def test_compgcn_dropout_training_mode(rng):
+    """Dropout must only fire in training mode with an rng, and change the
+    propagated tables stochastically."""
+    from mmrp_tpu.kg.models import KGModelConfig, compgcn_propagate, init_params
+
+    E, R = 6, 2
+    edges = np.array([[0, 0, 1], [1, 1, 2], [3, 0, 4], [5, 1, 0]], np.int32)
+    cfg = KGModelConfig(
+        name="CompGCN", num_entities=E, num_relations=R, emb_dim=8,
+        num_layers=2, dropout=0.5, opn="mult",
+        edge_src=edges[:, 0], edge_dst=edges[:, 2], edge_rel=edges[:, 1],
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    e_eval, _ = compgcn_propagate(cfg, params)
+    e_eval2, _ = compgcn_propagate(cfg, params)
+    np.testing.assert_array_equal(np.asarray(e_eval), np.asarray(e_eval2))
+    e_tr1, _ = compgcn_propagate(cfg, params, rng=jax.random.PRNGKey(1), training=True)
+    e_tr2, _ = compgcn_propagate(cfg, params, rng=jax.random.PRNGKey(2), training=True)
+    assert not np.allclose(np.asarray(e_tr1), np.asarray(e_tr2))
+
+
+def test_filtered_ranking_csr_matches_bruteforce(rng):
+    """The vectorized CSR filter mask must reproduce the per-row dict scan."""
+    from mmrp_tpu.kg.trainer import KGTrainer, KGTrainerConfig
+
+    E, R, n = 50, 4, 400
+    tr = KGTrainer(E, R, KGTrainerConfig(model="TransE", emb_dim=8, epochs=1))
+    trip = np.stack([
+        rng.integers(0, E, n), rng.integers(0, R, n), rng.integers(0, E, n)
+    ], axis=1).astype(np.int32)
+    tr.load_triples(trip.tolist())
+
+    arr = np.concatenate([tr.train_arr, tr.val_arr])
+    known = {}
+    for s, r, o in arr.tolist():
+        known.setdefault((s, r), set()).add(o)
+
+    anchors = rng.integers(0, E, 64).astype(np.int32)
+    rels = rng.integers(0, R, 64).astype(np.int32)
+    rows, cols = KGTrainer._filter_rows_cols(tr._known["sr"], anchors, rels, R)
+    got = {}
+    for rw, cl in zip(rows.tolist(), cols.tolist()):
+        got.setdefault(rw, set()).add(cl)
+    for i, (a, r) in enumerate(zip(anchors.tolist(), rels.tolist())):
+        want = known.get((a, r), set())
+        assert got.get(i, set()) == want
+
+
+def test_kg_trainer_compgcn_end_to_end(rng):
+    """CompGCN through the full trainer: jitted self-adversarial step with
+    per-step dropout rng, eval with the CSR filter, finite metrics."""
+    from mmrp_tpu.kg.trainer import KGTrainer, KGTrainerConfig
+
+    E, R, n = 30, 3, 200
+    cfg = KGTrainerConfig(
+        model="CompGCN", emb_dim=16, epochs=2, batch_size=64, neg_size=4,
+        num_layers=2, dropout=0.3, opn="corr", patience=3,
+    )
+    tr = KGTrainer(E, R, cfg)
+    trip = np.stack([
+        rng.integers(0, E, n), rng.integers(0, R, n), rng.integers(0, E, n)
+    ], axis=1).astype(np.int32)
+    tr.load_triples(trip.tolist())
+    best = tr.train()
+    assert np.isfinite(best["mrr"]) and 0.0 <= best["mrr"] <= 1.0
+    assert "hits@10" in best
