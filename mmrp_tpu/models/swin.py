@@ -5,11 +5,12 @@ From-scratch Swin for TPU — the reference consumes timm's
 patches for the global vector (reference: src/Model/fusion.py:189-265).
 This implementation keeps the same architecture family (patch-embed 4x4,
 4 stages, window 7, shifted windows, relative position bias, patch merging)
-but runs on the framework's own attention ops: at inference on TPU each
-block's first half (LN + qkv + window attention + proj + residual) is ONE
-fused Pallas kernel (ops/fused_window_attention.py) and the MLP half fuses
-at bandwidth-bound widths (ops/fused_mlp.py); training and CPU use the
-autodiff-able un-padded XLA formulation (ops/window_attention.py). Static
+but runs on the framework's own attention ops: on TPU each block's first
+half (LN + qkv + window attention + proj [+ residual]) is ONE fused Pallas
+kernel (ops/fused_window_attention.py) and the MLP half fuses at
+bandwidth-bound widths (ops/fused_mlp.py) — both differentiable via custom
+VJPs (XLA-recompute backward), so TRAINING takes the fused path too; CPU
+uses the un-padded XLA formulation (ops/window_attention.py). Static
 per-layer bias tensors fold relative-position bias + shifted-window masks.
 Patch embedding is a space-to-depth GEMM with conv-compatible parameters.
 See docs/KERNELS.md for the measured rationale.
@@ -29,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+import os
+
 from mmrp_tpu.models.layers import DenseParams, DropPath, LnParams, Mlp
 from mmrp_tpu.ops.window_attention import (
     build_rel_bias,
@@ -37,6 +40,15 @@ from mmrp_tpu.ops.window_attention import (
     window_partition,
     window_reverse,
 )
+
+
+def _pallas_backend() -> bool:
+    """Fused kernels run on TPU; MMRP_FORCE_PALLAS=1 runs them in interpret
+    mode elsewhere (tests exercise the exact production code path on CPU)."""
+    return (
+        jax.default_backend() == "tpu"
+        or os.environ.get("MMRP_FORCE_PALLAS") == "1"
+    )
 
 
 @dataclass(frozen=True)
@@ -183,13 +195,16 @@ class WindowAttention(nn.Module):
         qkv_k, qkv_b = DenseParams(self.dim * 3, name="qkv")(self.dim)
         proj_k, proj_b = DenseParams(self.dim, name="proj")(self.dim)
 
-        # the fused Pallas kernel has no VJP yet: inference-only
-        if deterministic and self.use_pallas and jax.default_backend() == "tpu":
+        # Fused Pallas path (differentiable via custom VJP). At inference
+        # the kernel also fuses the residual add; in training it returns the
+        # raw branch so the caller can apply DropPath.
+        if self.use_pallas and _pallas_backend():
             from mmrp_tpu.ops.fused_window_attention import (
                 build_bias_full,
                 fused_window_attention_windows,
             )
 
+            include_residual = deterministic
             if shift > 0:
                 x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
             bias_full = build_bias_full(rel_table, ws, H, W, shift)
@@ -200,11 +215,12 @@ class WindowAttention(nn.Module):
                 qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
                 proj_k.astype(self.dtype), proj_b.astype(self.dtype),
                 bias_full, self.num_heads,
+                include_residual=include_residual,
             )
             out = window_reverse(ow, ws, H, W)
             if shift > 0:
                 out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
-            return out, True
+            return out, include_residual
 
         # XLA path: manual LN (params shared with the fused path)
         xf = x.astype(jnp.float32)
@@ -270,23 +286,29 @@ class SwinBlock(nn.Module):
         (w1, b1), (w2, b2) = mlp_params()
 
         # fused LN+MLP+residual pays off only where the hidden stream is
-        # HBM-bound (small C); at C>=384 XLA's pipelined GEMMs win (measured)
+        # HBM-bound (small C); at C>=384 XLA's pipelined GEMMs win (measured).
+        # Differentiable (custom VJP); training requires dropout == 0 (the
+        # kernel has no interior dropout) and applies DropPath to the branch.
         if (
-            deterministic
-            and self.use_pallas
+            self.use_pallas
             and self.dim <= 256
-            and jax.default_backend() == "tpu"
+            and (deterministic or self.dropout == 0.0)
+            and _pallas_backend()
         ):
             from mmrp_tpu.ops.fused_mlp import fused_ln_mlp_residual
 
             B, H, W, C = x.shape
+            include_residual = deterministic
             out = fused_ln_mlp_residual(
                 x.reshape(B * H * W, C),
                 ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
                 w1.astype(self.dtype), b1.astype(self.dtype),
                 w2.astype(self.dtype), b2.astype(self.dtype),
-            )
-            return out.reshape(B, H, W, C)
+                include_residual=include_residual,
+            ).reshape(B, H, W, C)
+            if include_residual:
+                return out
+            return x + DropPath(self.drop_path)(out, deterministic)
 
         xf = x.astype(jnp.float32)
         mu = xf.mean(-1, keepdims=True)

@@ -39,7 +39,8 @@ except ImportError:  # pragma: no cover
 
 def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, bias_ref, o_ref,
-            *, num_heads: int, scale: float, block_windows: int, ln_eps: float):
+            *, num_heads: int, scale: float, block_windows: int, ln_eps: float,
+            include_residual: bool = True):
     # blocks: x (1, WBLK, N, C) RAW (pre-LN); bias (WBLK, h, N, N); weights
     # full. Computes o = x + proj(attn(LN(x))) — the whole first half of a
     # Swin block. Every tensor op is rank-2 — Mosaic's vector layouts reject
@@ -96,16 +97,19 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         )
     attn_b3 = jnp.concatenate(head_outs, axis=-1)  # (WBLK, N, C)
 
-    # Phase 3 — per-window proj GEMMs + residual.
+    # Phase 3 — per-window proj GEMMs (+ fused residual unless the caller
+    # wants the raw branch, e.g. to apply DropPath during training).
     for w in range(block_windows):
         proj = (
             jnp.dot(attn_b3[w], wproj_ref[...], preferred_element_type=jnp.float32)
             + bproj_ref[...][None, :]
         )
-        o_ref[0, w] = (xf3[w] + proj).astype(x_ref.dtype)  # fused residual
+        if include_residual:
+            proj = xf3[w] + proj
+        o_ref[0, w] = proj.astype(x_ref.dtype)
 
 
-def fused_window_attention_windows(
+def _pallas_impl(
     xw: jnp.ndarray,       # (B, nW, N, C) — RAW (pre-LN), post-roll, partitioned
     ln_scale: jnp.ndarray,  # (C,)
     ln_bias: jnp.ndarray,   # (C,)
@@ -115,15 +119,11 @@ def fused_window_attention_windows(
     b_proj: jnp.ndarray,   # (C,)
     bias_full: jnp.ndarray,  # (nW, h, N, N) f32: rel bias + shift mask
     num_heads: int,
-    block_windows: Optional[int] = None,
-    ln_eps: float = 1e-6,
-    interpret: Optional[bool] = None,
+    block_windows: int,
+    ln_eps: float,
+    interpret: bool,
+    include_residual: bool,
 ) -> jnp.ndarray:
-    """Returns x + proj(attention(LN(x))) in window layout."""
-    import os
-
-    if block_windows is None:
-        block_windows = int(os.environ.get("MMRP_WBLK", "16"))
     B, nW, N, C = xw.shape
     d = C // num_heads
     scale = d**-0.5
@@ -131,8 +131,6 @@ def fused_window_attention_windows(
     while wblk > 1 and nW % wblk:
         wblk //= 2
     wblk = max(wblk, 1)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
     vm = dict(memory_space=pltpu.VMEM) if (_HAS_PLTPU and not interpret) else {}
     kwargs = {}
@@ -153,7 +151,8 @@ def fused_window_attention_windows(
     # stage-1 shapes where the padded f32 bias is the largest stream).
     return pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, scale=scale,
-                          block_windows=wblk, ln_eps=ln_eps),
+                          block_windows=wblk, ln_eps=ln_eps,
+                          include_residual=include_residual),
         out_shape=jax.ShapeDtypeStruct((B, nW, N, C), xw.dtype),
         grid=(nW // wblk, B),
         in_specs=[
@@ -172,6 +171,112 @@ def fused_window_attention_windows(
         interpret=interpret,
         **kwargs,
     )(xw, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias_full)
+
+
+def xla_equivalent(
+    xw, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias_full,
+    *, num_heads: int, ln_eps: float = 1e-6, include_residual: bool = True,
+) -> jnp.ndarray:
+    """Pure-XLA computation of the SAME function as the Pallas kernel
+    (matching dtype discipline: f32 LN/softmax/accum, inputs' dtype GEMM
+    operands). Used as the autodiff body of the kernel's custom VJP and as
+    the correctness oracle in tests."""
+    B, nW, N, C = xw.shape
+    h = num_heads
+    d = C // h
+    scale = d**-0.5
+    xf = xw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    xn = (
+        (xf - mu) * jax.lax.rsqrt(var + ln_eps) * ln_scale[None, None, None, :]
+        + ln_bias[None, None, None, :]
+    ).astype(xw.dtype)
+    qkv = (
+        jnp.einsum("bwnc,ck->bwnk", xn, w_qkv, preferred_element_type=jnp.float32)
+        + b_qkv
+    ).astype(xw.dtype)  # (B, nW, N, 3C)
+    qkv = qkv.reshape(B, nW, N, 3, h, d)
+    q = qkv[..., 0, :, :]
+    k = qkv[..., 1, :, :]
+    v = qkv[..., 2, :, :]
+    scores = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * scale + bias_full[None].astype(jnp.float32)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(xw.dtype)
+    attn = jnp.einsum("bwhqk,bwkhd->bwqhd", p, v,
+                      preferred_element_type=jnp.float32).astype(xw.dtype)
+    attn = attn.reshape(B, nW, N, C)
+    proj = (
+        jnp.einsum("bwnc,ck->bwnk", attn, w_proj,
+                   preferred_element_type=jnp.float32)
+        + b_proj
+    )
+    if include_residual:
+        proj = xf + proj
+    return proj.astype(xw.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(num_heads: int, block_windows: int, ln_eps: float,
+                interpret: bool, include_residual: bool):
+    """custom_vjp wrapper: Pallas forward, XLA-recompute backward (remat —
+    qkv/scores never persist to HBM in either pass)."""
+
+    @jax.custom_vjp
+    def f(xw, ln_s, ln_b, wqkv, bqkv, wproj, bproj, bias_full):
+        return _pallas_impl(xw, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                            bias_full, num_heads, block_windows, ln_eps,
+                            interpret, include_residual)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: xla_equivalent(
+                *a, num_heads=num_heads, ln_eps=ln_eps,
+                include_residual=include_residual,
+            ),
+            *res,
+        )
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_window_attention_windows(
+    xw: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    b_qkv: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    b_proj: jnp.ndarray,
+    bias_full: jnp.ndarray,
+    num_heads: int,
+    block_windows: Optional[int] = None,
+    ln_eps: float = 1e-6,
+    interpret: Optional[bool] = None,
+    include_residual: bool = True,
+) -> jnp.ndarray:
+    """proj(attention(LN(x))) [+ x] in window layout — differentiable.
+
+    Forward runs the fused Pallas kernel; gradients come from a custom VJP
+    that recomputes through :func:`xla_equivalent`.
+    """
+    import os
+
+    if block_windows is None:
+        block_windows = int(os.environ.get("MMRP_WBLK", "16"))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _make_fused(num_heads, int(block_windows), float(ln_eps),
+                     bool(interpret), bool(include_residual))
+    return fn(xw, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias_full)
 
 
 def build_bias_full(rel_bias_table, ws: int, H: int, W: int, shift: int):
