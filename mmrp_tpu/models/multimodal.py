@@ -56,7 +56,9 @@ class MultiModalConfig:
         """Build from the framework Config. ``flagship=True`` selects the
         full-size backbones (Swin-B + ClinicalBERT dims)."""
         swin = SwinConfig.from_name(
-            cfg.image_backbone if cfg.image_backbone.startswith("swin") else "swin",
+            cfg.image_backbone if cfg.image_backbone.startswith("swin")
+            # MedCLIP's vision tower is Swin-Tiny (models/medclip.py)
+            else ("swin_tiny" if cfg.image_backbone.lower() == "medclip" else "swin"),
             use_pallas=cfg.use_pallas_attention,
             img_size=cfg.image_size,
             remat=cfg.remat_backbone,
@@ -107,15 +109,22 @@ class Backbones(nn.Module):
 
             vis = ResNetEncoder(ResNetConfig.resnet50(), dtype=self.dtype,
                                 name="resnet")(image, deterministic)
-        elif cfg.vision_backbone in ("vit", "medclip"):
+        elif cfg.vision_backbone == "medclip":
+            # MedCLIP's vision tower is Swin (tiny at parity scale, set by
+            # MultiModalConfig.from_config) + 512-d projection
+            # (fusion.py:131-171; see models/medclip.py)
+            from mmrp_tpu.models.medclip import MedCLIPVisionEncoder
+
+            vis = MedCLIPVisionEncoder(
+                swin=cfg.swin, dtype=self.dtype, name="medclip"
+            )(image, deterministic)
+        elif cfg.vision_backbone == "vit":
             from mmrp_tpu.models.vit import ViTConfig, ViTEncoder
 
-            vit_cfg = (ViTConfig.medclip(img_size=cfg.swin.img_size)
-                       if cfg.vision_backbone == "medclip"
-                       else ViTConfig.small(img_size=cfg.swin.img_size))
-            vis = ViTEncoder(vit_cfg, dtype=self.dtype, name="vit")(
-                image, deterministic
-            )
+            vis = ViTEncoder(
+                ViTConfig.small(img_size=cfg.swin.img_size),
+                dtype=self.dtype, name="vit",
+            )(image, deterministic)
         else:
             vis = SwinEncoder(cfg.swin, dtype=self.dtype, name="swin")(
                 image, deterministic

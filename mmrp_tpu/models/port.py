@@ -193,6 +193,42 @@ def convert_hf_swin(state_dict: Mapping, depths, num_heads) -> Dict:
     return params
 
 
+# ---------------------------------------------------------------------------
+# MedCLIP (vision tower = HF SwinModel + bias-free projection head)
+# ---------------------------------------------------------------------------
+
+
+def convert_medclip_vit(
+    state_dict: Mapping,
+    depths=(2, 2, 6, 2),
+    num_heads=(3, 6, 12, 24),
+) -> Dict:
+    """MedCLIP-ViT checkpoint -> MedCLIPVisionEncoder params['params'].
+
+    MedCLIP's ``MedCLIPVisionModelViT`` wraps an HF SwinModel as
+    ``vision_model.model.*`` plus ``vision_model.projection_head.weight``
+    (Linear 768->512, no bias) — reference consumption at
+    src/Model/fusion.py:131-171. Accepts a full MedCLIPModel state_dict
+    (``vision_model.`` prefix), a bare vision-model dict (``model.`` +
+    ``projection_head.``), and the text branch is ignored.
+    """
+    sd = _as_np(state_dict)
+    pfx = "vision_model." if any(k.startswith("vision_model.") for k in sd) else ""
+    swin_sd = {
+        k[len(pfx) + len("model."):]: v
+        for k, v in sd.items()
+        if k.startswith(f"{pfx}model.")
+    }
+    if not swin_sd:
+        raise KeyError(
+            "no vision tower found: expected '[vision_model.]model.*' keys"
+        )
+    return {
+        "swin": convert_hf_swin(swin_sd, depths, num_heads),
+        "projection": {"kernel": _t(sd[f"{pfx}projection_head.weight"])},
+    }
+
+
 def load_hf_bert_into(text_params: Dict, hf_state: Mapping, num_layers: int,
                       num_heads: int) -> Dict:
     """Replace a TextEncoder param subtree with converted HF weights,

@@ -1,10 +1,11 @@
-"""ViT vision encoder (MedCLIP-ViT family) in Flax linen.
+"""ViT vision encoder (plain pre-LN ViT) in Flax linen.
 
-The reference's fourth image backbone is MedCLIP's ViT (reference:
-src/Model/fusion.py:131-171: cached .pth + dim auto-probe). This is a
-standard pre-LN ViT whose output contract matches the other encoders:
-dict(patches (B, Np, F), global (B, F)); ``global`` is the CLS token,
-mirroring CLIP-style pooling.
+Extra backbone family beyond the reference's set. (Note: the reference's
+"medclip" backbone is NOT a plain ViT — MedCLIP's vision tower is a Swin
+plus projection head; see models/medclip.py for the faithful port target,
+reference src/Model/fusion.py:131-171.) Output contract matches the other
+encoders: dict(patches (B, Np, F), global (B, F)); ``global`` is the CLS
+token, mirroring CLIP-style pooling.
 """
 
 from __future__ import annotations
@@ -27,10 +28,6 @@ class ViTConfig:
     num_heads: int = 12
     mlp_dim: int = 3072
     dropout: float = 0.0
-
-    @staticmethod
-    def medclip(**kw) -> "ViTConfig":
-        return ViTConfig(**kw)  # ViT-B/16, MedCLIP's vision tower
 
     @staticmethod
     def small(**kw) -> "ViTConfig":

@@ -112,3 +112,33 @@ def test_build_web_sample_set(tmp_path, rng):
     assert (tmp_path / "web" / "web_samples.json").exists()
     loaded = json.loads((tmp_path / "web" / "web_samples.json").read_text())
     assert loaded[0]["id"].startswith("rec")
+
+
+def test_multimodal_medclip_backbone_forward(rng):
+    """'medclip' backbone = Swin + 512-d projection (models/medclip.py);
+    micro swin here for CI speed."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
+    from mmrp_tpu.models.swin import SwinConfig
+    from mmrp_tpu.models.text_encoder import TextConfig
+
+    text = TextConfig.small(vocab_size=64, hidden_dim=16, num_layers=1,
+                            num_heads=2, intermediate_dim=32, max_positions=16)
+    img = jnp.asarray(rng.random((1, 28, 28, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, (1, 8)), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    cfg = MultiModalConfig(
+        swin=SwinConfig.micro(img_size=28, use_pallas=False), text=text,
+        vision_backbone="medclip",
+        joint_dim=16, num_fusion_layers=1, num_heads=2, num_classes=5,
+        max_text_len=8,
+    )
+    model = MultiModalRetrievalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), img, ids, mask)
+    out = model.apply(params, img, ids, mask)
+    assert out["logits"].shape == (1, 5)
+    # the medclip projection subtree exists with a bias-free 512-d kernel
+    proj = params["params"]["backbones"]["medclip"]["projection"]
+    assert proj["kernel"].shape[-1] == 512 and "bias" not in proj

@@ -77,3 +77,58 @@ def test_swin_port_matches_hf(rng):
     np.testing.assert_allclose(ours, hf_out, atol=5e-3)
     corr = np.corrcoef(ours.ravel(), hf_out.ravel())[0, 1]
     assert corr > 0.999999
+
+
+def test_medclip_port_matches_reference_composition(rng):
+    """MedCLIP-ViT = HF SwinModel + bias-free 512-d projection head
+    (fusion.py:131-171). Build a random small HF Swin, wrap its state_dict
+    in MedCLIP naming, convert, and check patches == last_hidden_state @ W
+    and global == pooler_output @ W."""
+    from transformers import SwinConfig as HFSwinConfig, SwinModel
+
+    from mmrp_tpu.models.medclip import MedCLIPVisionEncoder
+    from mmrp_tpu.models.port import convert_medclip_vit
+    from mmrp_tpu.models.swin import SwinConfig
+
+    hf_cfg = HFSwinConfig(
+        image_size=56, patch_size=4, embed_dim=24, depths=[2, 2],
+        num_heads=[2, 4], window_size=7, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, drop_path_rate=0.0,
+    )
+    hf = SwinModel(hf_cfg, add_pooling_layer=True).eval()
+    proj_dim, feat_dim = 16, hf_cfg.embed_dim * 2
+    w_proj = torch.randn(proj_dim, feat_dim) * 0.1
+
+    state = {f"vision_model.model.{k}": v for k, v in hf.state_dict().items()}
+    state["vision_model.projection_head.weight"] = w_proj
+    # text branch must be ignored
+    state["text_model.whatever.weight"] = torch.randn(3, 3)
+
+    converted = convert_medclip_vit(state, depths=(2, 2), num_heads=(2, 4))
+
+    enc = MedCLIPVisionEncoder(
+        swin=SwinConfig(img_size=56, embed_dim=24, depths=(2, 2),
+                        num_heads=(2, 4), window_size=7, drop_path_rate=0.0,
+                        use_pallas=False),
+        proj_dim=proj_dim,
+    )
+    x_np = rng.random((2, 56, 56, 3)).astype(np.float32)
+    out = enc.apply({"params": converted}, jnp.asarray(x_np))
+
+    with torch.no_grad():
+        hf_out = hf(pixel_values=torch.tensor(
+            x_np.transpose(0, 3, 1, 2)))
+        want_patches = (hf_out.last_hidden_state @ w_proj.T).numpy()
+        want_global = (hf_out.pooler_output @ w_proj.T).numpy()
+
+    np.testing.assert_allclose(
+        np.asarray(out["patches"]), want_patches, atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(out["global"]), want_global, atol=2e-3)
+
+
+def test_medclip_converter_rejects_textonly_dict():
+    from mmrp_tpu.models.port import convert_medclip_vit
+
+    with pytest.raises(KeyError):
+        convert_medclip_vit({"text_model.x": np.zeros((2, 2))})
