@@ -54,10 +54,40 @@ def mean_over_mesh(mesh: Mesh, values: np.ndarray, axis: str = "dp") -> float:
     return float(s) / max(float(c), 1.0)
 
 
-def initialize_distributed() -> None:
-    """Multi-host initialization hook (jax.distributed). Single-process runs
-    are a no-op; pods call this before building the mesh."""
+def initialize_distributed(
+    coordinator_address: str = None,
+    num_processes: int = None,
+    process_id: int = None,
+    cpu_collectives: str = None,
+) -> bool:
+    """Multi-host initialization (jax.distributed). Returns True when the
+    distributed runtime was started.
+
+    Explicit args win; otherwise standard envs are honored
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — on TPU
+    pods jax.distributed.initialize() autodetects and the envs are not
+    needed). ``cpu_collectives="gloo"`` enables cross-process collectives
+    on the CPU backend, which is how the multi-host path is exercised in
+    CI without a pod (tests/test_multihost.py)."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if not coordinator_address:
+        return False
+    if cpu_collectives:
+        jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
+    kwargs = {"coordinator_address": coordinator_address}
+    num_processes = num_processes if num_processes is not None else os.environ.get(
+        "JAX_NUM_PROCESSES"
+    )
+    process_id = process_id if process_id is not None else os.environ.get(
+        "JAX_PROCESS_ID"
+    )
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    jax.distributed.initialize(**kwargs)
+    return True
