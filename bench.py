@@ -28,15 +28,16 @@ import time
 import numpy as np
 
 
-def _build_model(use_pallas: bool, text_len: int):
+def _build_model(use_pallas: bool, text_len: int, swin_name: str = None):
     import jax.numpy as jnp
 
     from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
     from mmrp_tpu.models.swin import SwinConfig
     from mmrp_tpu.models.text_encoder import TextConfig
 
+    swin_name = swin_name or os.environ.get("BENCH_SWIN", "tiny")
     cfg = MultiModalConfig(
-        swin=SwinConfig.tiny(use_pallas=use_pallas),
+        swin=SwinConfig.from_name(f"swin_{swin_name}", use_pallas=use_pallas),
         text=TextConfig.clinicalbert(),
         joint_dim=1024,
         num_fusion_layers=5,
@@ -84,7 +85,10 @@ def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int):
     dt = time.perf_counter() - t0
     throughput = batch * iters / dt
 
-    flops_per_pair = 4.5e9 + 2.0 * 85e6 * text_len + 3.0e9  # swin-t + bert + fusion
+    swin_flops = {"tiny": 4.5e9, "small": 8.7e9, "base": 15.4e9}.get(
+        os.environ.get("BENCH_SWIN", "tiny"), 4.5e9
+    )
+    flops_per_pair = swin_flops + 2.0 * 85e6 * text_len + 3.0e9  # swin + bert + fusion
     return throughput, throughput * flops_per_pair / 197e12
 
 
@@ -146,6 +150,20 @@ def main() -> None:
         details[f"retrieval_ms_per_query_{n_gal//1000}k"] = bench_retrieval(n_gal)
     except Exception as e:  # noqa: BLE001
         details["error_retrieval"] = repr(e)
+
+    # merge separately-measured rows (same chained methodology, one model
+    # build per process — see CLAUDE.md): training step (tools/bench_train.py)
+    # and the Swin-B flagship embed (BENCH_FLAGSHIP=1 runs of this file)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for side, key in (("BENCH_TRAIN.json", "train_step"),
+                      ("BENCH_FLAGSHIP.json", "flagship_embed")):
+        p = os.path.join(here, side)
+        if os.path.exists(p):
+            try:
+                with open(p) as fh:
+                    details[key] = json.load(fh)
+            except (OSError, ValueError) as e:  # noqa: PERF203
+                details[key] = {"error": repr(e)}
 
     with open("BENCH_DETAILS.json", "w") as fh:
         json.dump(details, fh, indent=1)

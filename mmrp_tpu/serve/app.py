@@ -265,14 +265,34 @@ def make_handler(ctx: DemoContext):
             else:
                 self._send(404, b"not found")
 
+        MAX_BODY = 64 * 1024 * 1024  # DICOM uploads are < a few MB
+
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send(400, b"bad Content-Length")
+                return
+            if length <= 0:
+                self._send(400, b"empty body")
+                return
+            if length > self.MAX_BODY:
+                self._send(413, b"body too large")
+                return
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
             try:
                 if self.path == "/api/predict":
-                    req = json.loads(body)
-                    dicom = base64.b64decode(req["dicom_b64"])
+                    try:
+                        req = json.loads(body)
+                        dicom = base64.b64decode(req["dicom_b64"], validate=True)
+                        if not dicom:
+                            raise ValueError("empty dicom payload")
+                    except (ValueError, KeyError, TypeError) as e:
+                        self._send(
+                            400, f"bad request: {html.escape(repr(e))}".encode()
+                        )
+                        return
                     payload = run_inference(
                         ctx, dicom, req.get("text", ""),
                         float(req.get("threshold", 0.5)),
@@ -283,12 +303,19 @@ def make_handler(ctx: DemoContext):
                                "application/json")
                     return
                 # multipart form
-                fields = _parse_multipart(body, ctype)
+                try:
+                    fields = _parse_multipart(body, ctype)
+                    if "dicom_file" not in fields:
+                        raise KeyError("dicom_file field missing")
+                    threshold = float(fields.get("threshold", b"0.5"))
+                except (ValueError, KeyError) as e:
+                    self._send(400, f"bad upload: {html.escape(repr(e))}".encode())
+                    return
                 payload = run_inference(
                     ctx,
                     fields["dicom_file"],
                     fields.get("text_query", b"").decode("utf-8", "ignore"),
-                    float(fields.get("threshold", b"0.5")),
+                    threshold,
                     detail=b"show_retrieval_detail" in fields,
                 )
                 html_page = _FORM.format(results=render_results(payload))

@@ -60,3 +60,64 @@ def test_render_results_sections():
                  "diversity", "12.0 ms"):
         assert frag in html
     assert render_results({}) == ""
+
+
+def test_http_error_paths():
+    """400/413 on malformed bodies — the server must not 500 or crash on
+    garbage uploads (reference got this free from Flask)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from mmrp_tpu.serve.app import serve
+
+    # minimal ctx: error paths reject before any model touch
+    server = serve(lambda: {}, port=0, block=False)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, data, headers):
+        req = urllib.request.Request(base + path, data=data, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    try:
+        # empty body
+        assert post("/api/predict", b"", {"Content-Type": "application/json"}) == 400
+        # malformed json
+        assert post("/api/predict", b"{nope", {"Content-Type": "application/json"}) == 400
+        # valid json, missing required field
+        assert post("/api/predict", json.dumps({"text": "x"}).encode(),
+                    {"Content-Type": "application/json"}) == 400
+        # invalid base64
+        assert post("/api/predict", json.dumps({"dicom_b64": "!!!"}).encode(),
+                    {"Content-Type": "application/json"}) == 400
+        # form POST that is not multipart
+        assert post("/", b"text_query=x", {"Content-Type": "application/x-www-form-urlencoded"}) == 400
+        # multipart missing the dicom file
+        body = (b"--BB\r\nContent-Disposition: form-data; name=\"text_query\"\r\n\r\n"
+                b"hello\r\n--BB--\r\n")
+        assert post("/", body, {"Content-Type": "multipart/form-data; boundary=BB"}) == 400
+        # oversized declared body
+        req = urllib.request.Request(
+            base + "/api/predict", data=b"x",
+            headers={"Content-Type": "application/json",
+                     "Content-Length": str(100 * 1024 * 1024)},
+        )
+        # urllib overrides Content-Length from data; go lower level
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/api/predict")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(100 * 1024 * 1024))
+        conn.endheaders()
+        conn.send(b"x")
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+    finally:
+        server.shutdown()
