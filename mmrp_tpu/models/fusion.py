@@ -13,33 +13,65 @@ src/Model/fusion.py:20-35 PreFusionEnhancer, :334-471 CrossModalFusion):
 The TPU-first differences: everything is batch-static, masks are additive
 and precomputed, attention weights are returned from a single softmax
 computation (no second forward), and dtype policy is explicit.
+
+Performance (round 2): on the target slice every GEMM here is HBM-bound
+(docs/ROOFLINE.md), so each attention block runs as ONE fused Pallas kernel
+(ops/fused_attention.py) that keeps qkv/scores/proj in VMEM — including the
+enhancer's pos-add and alpha-scaled residual and the cross-attention's
+post-residual LayerNorm. The fused path needs token counts that are
+multiples of 8 (Mosaic sublane tiles): callers pass patches PADDED to 8
+with a validity mask (see multimodal.py), and padded keys are excluded via
+the additive mask, so real-row outputs are bit-comparable to the unfused
+path (tests/test_fusion_fused.py). When attention maps are requested
+(explainability) or dropout is active, the autodiff XLA path runs instead
+— same parameters, same math.
 """
 
 from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-
-def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    B, L, D = x.shape
-    return x.reshape(B, L, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+from mmrp_tpu.models.layers import DenseParams, LnParams, MhaParams
 
 
-def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
-    B, H, L, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(B, L, H * d)
+def _use_fused_attn(enabled: bool, deterministic: bool, dropout: float,
+                    *token_counts: int) -> bool:
+    from mmrp_tpu.models.swin import _pallas_backend
+
+    return (
+        enabled
+        and (deterministic or dropout == 0.0)
+        and all(n % 8 == 0 for n in token_counts)
+        and _pallas_backend()
+    )
+
+
+def _additive_mask(mask: Optional[jnp.ndarray], B: int, N: int):
+    """(B, N) 0/1 validity -> (B, N) additive f32 (0 / -1e9), or None."""
+    if mask is None:
+        return None
+    return jnp.where(mask > 0, 0.0, -1e9).astype(jnp.float32)
 
 
 class CrossAttention(nn.Module):
-    """MHA that also returns head-wise attention weights (for explain)."""
+    """MHA that also returns head-wise attention weights (for explain).
+
+    ``post_ln``: optional (scale, bias) — when given, the module returns
+    LayerNorm(q_in + attn_out) (the reference's residual+LN that follows
+    each cross-attention, fusion.py:439-440) so the fused kernel can do
+    residual+LN in VMEM. ``need_weights=False`` enables the fused path and
+    returns attn=None.
+    """
 
     dim: int
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = True
 
     @nn.compact
     def __call__(
@@ -48,35 +80,89 @@ class CrossAttention(nn.Module):
         kv_in: jnp.ndarray,  # (B, Lk, D)
         kv_mask: Optional[jnp.ndarray] = None,  # (B, Lk) 1=valid
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        need_weights: bool = True,
+        post_ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         D, H = self.dim, self.num_heads
-        q = _split_heads(nn.Dense(D, dtype=self.dtype, name="q")(q_in), H)
-        k = _split_heads(nn.Dense(D, dtype=self.dtype, name="k")(kv_in), H)
-        v = _split_heads(nn.Dense(D, dtype=self.dtype, name="v")(kv_in), H)
-        scale = (D // H) ** -0.5
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores * scale
-        if kv_mask is not None:
-            scores = scores + jnp.where(kv_mask, 0.0, -1e9)[:, None, None, :]
-        attn = nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
-        out = nn.Dense(D, dtype=self.dtype, name="out")(_merge_heads(out))
-        return out, attn
+        (wq, bq) = DenseParams(D, name="q")(D)
+        (wk, bk) = DenseParams(D, name="k")(D)
+        (wv, bv) = DenseParams(D, name="v")(D)
+        (wo, bo) = DenseParams(D, name="out")(D)
+        B, Lq, _ = q_in.shape
+        Lk = kv_in.shape[1]
+        add_mask = _additive_mask(kv_mask, B, Lk)
+
+        if (
+            not need_weights
+            and _use_fused_attn(self.use_fused, deterministic, self.dropout,
+                                Lq, Lk)
+        ):
+            from mmrp_tpu.ops.fused_attention import fused_attention
+
+            if post_ln is not None:
+                ln_s, ln_b = post_ln
+                mode = "post"
+            else:
+                ln_s = jnp.ones((D,), jnp.float32)
+                ln_b = jnp.zeros((D,), jnp.float32)
+                mode = "none"
+            out = fused_attention(
+                q_in, ln_s.astype(jnp.float32), ln_b.astype(jnp.float32),
+                wq.astype(self.dtype), bq.astype(self.dtype),
+                wk.astype(self.dtype), bk.astype(self.dtype),
+                wv.astype(self.dtype), bv.astype(self.dtype),
+                wo.astype(self.dtype), bo.astype(self.dtype),
+                kv=kv_in, key_mask=add_mask, num_heads=H, ln_mode=mode,
+                include_residual=False,
+            )
+            return out, None
+
+        d = D // H
+        q = (q_in @ wq.astype(q_in.dtype) + bq.astype(q_in.dtype)).reshape(
+            B, Lq, H, d)
+        k = (kv_in @ wk.astype(kv_in.dtype) + bk.astype(kv_in.dtype)).reshape(
+            B, Lk, H, d)
+        v = (kv_in @ wv.astype(kv_in.dtype) + bv.astype(kv_in.dtype)).reshape(
+            B, Lk, H, d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * d**-0.5
+        if add_mask is not None:
+            scores = scores + add_mask[:, None, None, :]
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn_d = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn_d.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.astype(q_in.dtype).reshape(B, Lq, D)
+        out = ctx @ wo.astype(q_in.dtype) + bo.astype(q_in.dtype)
+        if post_ln is not None:
+            ln_s, ln_b = post_ln
+            yf = (q_in + out).astype(jnp.float32)
+            mu = yf.mean(-1, keepdims=True)
+            var = ((yf - mu) ** 2).mean(-1, keepdims=True)
+            out = ((yf - mu) * jax.lax.rsqrt(var + 1e-6)
+                   * ln_s.astype(jnp.float32)[None, None, :]
+                   + ln_b.astype(jnp.float32)[None, None, :]).astype(q_in.dtype)
+        return out, (attn if need_weights else None)
 
 
 class PreFusionEnhancer(nn.Module):
     """Self-attn + learned positional embedding + alpha-scaled residual
-    (reference fusion.py:20-35)."""
+    (reference fusion.py:20-35): out = x + alpha * MHA(LN(x + pos)).
+
+    ``max_len`` sizes the positional parameter (the REAL token count); the
+    input may be padded beyond it (extra rows get zero pos and must be
+    masked out via ``mask``)."""
 
     dim: int
     num_heads: int
     max_len: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = True
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
+        B, N, D = x.shape
         pos = self.param(
             "pos_embed",
             nn.initializers.truncated_normal(0.02),
@@ -84,31 +170,70 @@ class PreFusionEnhancer(nn.Module):
             jnp.float32,
         )
         alpha = self.param("alpha", nn.initializers.zeros, (), jnp.float32)
-        y = x + pos[:, : x.shape[1], :].astype(x.dtype)
-        y = nn.LayerNorm(dtype=self.dtype)(y)
-        attn_mask = None
-        if mask is not None:
-            attn_mask = mask[:, None, None, :].astype(bool)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dropout_rate=self.dropout, dtype=self.dtype
-        )(y, y, mask=attn_mask, deterministic=deterministic)
+        ln_s, ln_b = LnParams(name="LayerNorm_0")(D)
+        (wq, bq), (wk, bk), (wv, bv), (wo, bo) = MhaParams(
+            D, name="attention")()
+        pos_n = pos[0, :N]
+        if N > self.max_len:  # padded input: zero pos on pad rows
+            pos_n = jnp.concatenate(
+                [pos[0], jnp.zeros((N - self.max_len, D), pos.dtype)], axis=0)
+        add_mask = _additive_mask(mask, B, N)
+
+        if _use_fused_attn(self.use_fused, deterministic, self.dropout, N):
+            from mmrp_tpu.ops.fused_attention import fused_attention
+
+            return fused_attention(
+                x, ln_s.astype(jnp.float32), ln_b.astype(jnp.float32),
+                wq.astype(self.dtype), bq.astype(self.dtype),
+                wk.astype(self.dtype), bk.astype(self.dtype),
+                wv.astype(self.dtype), bv.astype(self.dtype),
+                wo.astype(self.dtype), bo.astype(self.dtype),
+                key_mask=add_mask, pos=pos_n.astype(self.dtype),
+                alpha=alpha, num_heads=self.num_heads, ln_mode="pre",
+                include_residual=True, residual_from_raw=True,
+            )
+
+        base = x + pos_n[None].astype(x.dtype)
+        yf = base.astype(jnp.float32)
+        mu = yf.mean(-1, keepdims=True)
+        var = ((yf - mu) ** 2).mean(-1, keepdims=True)
+        y = ((yf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
+        y = y * ln_s.astype(self.dtype) + ln_b.astype(self.dtype)
+        h, d = self.num_heads, D // self.num_heads
+        q = (y @ wq.astype(y.dtype) + bq.astype(y.dtype)).reshape(B, N, h, d)
+        k = (y @ wk.astype(y.dtype) + bk.astype(y.dtype)).reshape(B, N, h, d)
+        v = (y @ wv.astype(y.dtype) + bv.astype(y.dtype)).reshape(B, N, h, d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * d**-0.5
+        if add_mask is not None:
+            scores = scores + add_mask[:, None, None, :]
+        p = jax.nn.softmax(scores, axis=-1)
+        p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.astype(x.dtype).reshape(B, N, D)
+        y = ctx @ wo.astype(x.dtype) + bo.astype(x.dtype)
         return x + alpha.astype(x.dtype) * y
 
 
 class CrossModalFusion(nn.Module):
     """Bidirectional cross-attention fusion.
 
-    Inputs: image patches (B, Np, D), image global (B, D), text tokens
-    (B, Lt, D), text mask (B, Lt). Output: fused sequence
-    ``[cls, Np patches, txt]`` (B, Np+2, D) + attention dict.
+    Inputs: image patches (B, Np, D) — possibly padded to 8 beyond
+    ``num_patches`` real ones, with ``img_mask`` marking validity — image
+    global (B, D), text tokens (B, Lt, D), text mask (B, Lt). Output: fused
+    sequence ``[cls, Np patches, txt]`` (B, Np+2, D) + attention dict (None
+    entries on the fused path).
     """
 
     dim: int
     num_heads: int
-    num_patches: int
+    num_patches: int           # REAL patch count (positional param size)
     max_text_len: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = True
+    pad_seq_to: Optional[int] = None  # emit [cls, real patches, txt, 0-pad]
 
     @nn.compact
     def __call__(
@@ -118,26 +243,36 @@ class CrossModalFusion(nn.Module):
         txt_tokens: jnp.ndarray,
         txt_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        need_attn: bool = True,
+        img_mask: Optional[jnp.ndarray] = None,  # (B, Np_padded) 1=valid
     ):
         D = self.dim
         # per-modality enhancement before fusion (fusion.py:408-421)
-        txt = PreFusionEnhancer(
-            D, self.num_heads, self.max_text_len, self.dropout, self.dtype, name="txt_enh"
+        txt_e = PreFusionEnhancer(
+            D, self.num_heads, self.max_text_len, self.dropout, self.dtype,
+            use_fused=self.use_fused, name="txt_enh",
         )(txt_tokens, txt_mask, deterministic)
-        patches = PreFusionEnhancer(
-            D, self.num_heads, self.num_patches, self.dropout, self.dtype, name="img_enh"
-        )(img_patches, None, deterministic)
+        pat_e = PreFusionEnhancer(
+            D, self.num_heads, self.num_patches, self.dropout, self.dtype,
+            use_fused=self.use_fused, name="img_enh",
+        )(img_patches, img_mask, deterministic)
 
-        # text queries attend image patches; patches attend text
-        txt_fused, attn_t2i = CrossAttention(
-            D, self.num_heads, self.dropout, self.dtype, name="txt2img"
-        )(txt, patches, None, deterministic)
-        img_fused, attn_i2t = CrossAttention(
-            D, self.num_heads, self.dropout, self.dtype, name="img2txt"
-        )(patches, txt, txt_mask, deterministic)
+        tn_s, tn_b = LnParams(name="txt_norm")(D)
+        in_s, in_b = LnParams(name="img_norm")(D)
 
-        txt = nn.LayerNorm(dtype=self.dtype, name="txt_norm")(txt + txt_fused)
-        patches = nn.LayerNorm(dtype=self.dtype, name="img_norm")(patches + img_fused)
+        # text queries attend image patches; patches attend text — both over
+        # the ENHANCED tensors, each followed by the reference's residual+LN
+        # (folded into the kernel via post_ln)
+        txt, attn_t2i = CrossAttention(
+            D, self.num_heads, self.dropout, self.dtype,
+            use_fused=self.use_fused, name="txt2img",
+        )(txt_e, pat_e, img_mask, deterministic, need_attn,
+          post_ln=(tn_s, tn_b))
+        patches, attn_i2t = CrossAttention(
+            D, self.num_heads, self.dropout, self.dtype,
+            use_fused=self.use_fused, name="img2txt",
+        )(pat_e, txt_e, txt_mask, deterministic, need_attn,
+          post_ln=(in_s, in_b))
 
         # pooled text respecting the padding mask
         if txt_mask is not None:
@@ -151,7 +286,12 @@ class CrossModalFusion(nn.Module):
         cls = nn.Dense(D, dtype=self.dtype, name="cls_proj")(
             jnp.concatenate([img_global, txt_pooled], axis=-1)
         )
-        seq = jnp.concatenate(
-            [cls[:, None, :], patches, txt_pooled[:, None, :]], axis=1
-        )  # (B, 1+Np+1, D)
+        parts = [cls[:, None, :], patches[:, : self.num_patches],
+                 txt_pooled[:, None, :]]
+        real_len = 2 + self.num_patches
+        if self.pad_seq_to is not None and self.pad_seq_to > real_len:
+            B = patches.shape[0]
+            parts.append(jnp.zeros(
+                (B, self.pad_seq_to - real_len, D), patches.dtype))
+        seq = jnp.concatenate(parts, axis=1)  # (B, 1+Np+1 [+pad], D)
         return seq, {"txt2img": attn_t2i, "img2txt": attn_i2t}

@@ -100,6 +100,22 @@ class LnParams(nn.Module):
         return s, b
 
 
+class MhaParams(nn.Module):
+    """query/key/value/out projection params as plain 2D (dim, dim) kernels
+    — torch/HF's native Linear layout, what the fused attention kernel
+    (ops/fused_attention.py) consumes, and a 1:1 port target (port.py)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        q = DenseParams(self.dim, name="query")(self.dim)
+        k = DenseParams(self.dim, name="key")(self.dim)
+        v = DenseParams(self.dim, name="value")(self.dim)
+        o = DenseParams(self.dim, name="out")(self.dim)
+        return q, k, v, o
+
+
 class DenseParams(nn.Module):
     """Kernel+bias parameters with nn.Dense's tree layout, without binding
     the matmul to this module — lets fused Pallas kernels consume the same

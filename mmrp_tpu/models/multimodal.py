@@ -25,12 +25,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from mmrp_tpu.config import Config
 from mmrp_tpu.models.fusion import CrossModalFusion
-from mmrp_tpu.models.layers import DropPath, Mlp, PositionalEncoding
+from mmrp_tpu.models.layers import DropPath, Mlp
 from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
 from mmrp_tpu.models.text_encoder import TextConfig, TextEncoder
 
@@ -142,50 +143,150 @@ class Backbones(nn.Module):
 
 class FusionLayer(nn.Module):
     """One fusion block: cross-modal fusion -> pos-enc -> self-attn ->
-    FFN(+adapter) residual (reference model.py:375-449)."""
+    FFN(+adapter) residual (reference model.py:375-449).
+
+    Fused path (TPU, eval / dropout==0, no attention maps requested): the
+    self-attention runs as one Pallas kernel with the sinusoidal positional
+    encoding folded in, and the FFN as the fused LN+MLP+residual kernel —
+    the sequence is padded to 8 tokens ([cls, Np, txt, 0-pad]) with padded
+    keys masked, so real-row outputs match the XLA path
+    (tests/test_fusion_fused.py)."""
 
     config: MultiModalConfig
     drop_path: float
     shared_ffn: Optional[nn.Module] = None
     dtype: jnp.dtype = jnp.float32
+    num_patches_real: Optional[int] = None  # set when patches arrive padded
 
     @nn.compact
     def __call__(
-        self, img_patches, img_global, txt_tokens, txt_mask, deterministic=True
+        self, img_patches, img_global, txt_tokens, txt_mask,
+        deterministic=True, need_attn=True, img_mask=None,
     ):
+        from mmrp_tpu.models.fusion import _use_fused_attn
+        from mmrp_tpu.models.layers import LnParams, MhaParams
+        from mmrp_tpu.models.swin import MlpParams
+
         cfg = self.config
         D = cfg.joint_dim
+        Np = self.num_patches_real or img_patches.shape[1]
+        Lr = Np + 2                      # real sequence length (cls+Np+txt)
+        use_fused = (
+            not need_attn
+            and self.shared_ffn is None
+            and (deterministic or self.drop_path == 0.0)
+            and _use_fused_attn(True, deterministic, cfg.dropout)
+        )
+        Lp = ((Lr + 7) // 8) * 8 if use_fused else Lr
+
         seq, attn = CrossModalFusion(
             dim=D,
             num_heads=cfg.num_heads,
-            num_patches=img_patches.shape[1],
+            num_patches=Np,
             max_text_len=cfg.max_text_len,
             dropout=cfg.dropout,
             dtype=self.dtype,
+            pad_seq_to=Lp if Lp != Lr else None,
             name="fusion",
-        )(img_patches, img_global, txt_tokens, txt_mask, deterministic)
+        )(img_patches, img_global, txt_tokens, txt_mask, deterministic,
+          need_attn, img_mask)
 
         seq = nn.Dropout(cfg.dropout)(seq, deterministic=deterministic)
-        seq = PositionalEncoding(max_len=seq.shape[1] + 1)(seq)
-        y = nn.LayerNorm(dtype=self.dtype)(seq)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.num_heads, dropout_rate=cfg.dropout, dtype=self.dtype
-        )(y, y, deterministic=deterministic)
-        seq = seq + DropPath(self.drop_path)(y, deterministic)
 
-        ffn = self.shared_ffn
-        if ffn is None:
-            ffn = Mlp(D * 4, dropout=cfg.dropout, dtype=self.dtype, name="ffn")
-        y = ffn(nn.LayerNorm(dtype=self.dtype)(seq), deterministic)
-        seq = seq + DropPath(self.drop_path)(y, deterministic)
+        ln0_s, ln0_b = LnParams(name="LayerNorm_0")(D)
+        (wq, bq), (wk, bk), (wv, bv), (wo, bo) = MhaParams(
+            D, name="attention")()
+        ln1_s, ln1_b = LnParams(name="LayerNorm_1")(D)
+        mlp_holder = None if self.shared_ffn is not None else MlpParams(
+            D * 4, D, name="ffn")
+
+        from mmrp_tpu.models.layers import sinusoidal_positions
+
+        sin = jnp.asarray(sinusoidal_positions(Lp + 1, D))
+
+        if use_fused:
+            from mmrp_tpu.ops.fused_attention import fused_attention
+            from mmrp_tpu.ops.fused_mlp import fused_ln_mlp_residual
+
+            B = seq.shape[0]
+            if Lp != Lr:
+                valid_row = jnp.concatenate(
+                    [jnp.zeros((Lr,), jnp.float32),
+                     jnp.full((Lp - Lr,), -1e9, jnp.float32)])
+                smask = jnp.broadcast_to(valid_row[None], (B, Lp))
+            else:
+                smask = None
+            # pos-enc + LN + self-attention + residual, one kernel
+            seq = fused_attention(
+                seq, ln0_s.astype(jnp.float32), ln0_b.astype(jnp.float32),
+                wq.astype(self.dtype), bq.astype(self.dtype),
+                wk.astype(self.dtype), bk.astype(self.dtype),
+                wv.astype(self.dtype), bv.astype(self.dtype),
+                wo.astype(self.dtype), bo.astype(self.dtype),
+                key_mask=smask, pos=sin[:Lp].astype(self.dtype),
+                num_heads=cfg.num_heads, ln_mode="pre",
+                include_residual=True,
+            )
+            (w1, b1), (w2, b2) = mlp_holder()
+            seq = fused_ln_mlp_residual(
+                seq.reshape(B * Lp, D),
+                ln1_s.astype(jnp.float32), ln1_b.astype(jnp.float32),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+            ).reshape(B, Lp, D)
+        else:
+            seq = seq + sin[None, : seq.shape[1]].astype(seq.dtype)
+            yf = seq.astype(jnp.float32)
+            mu = yf.mean(-1, keepdims=True)
+            var = ((yf - mu) ** 2).mean(-1, keepdims=True)
+            y = ((yf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
+            y = y * ln0_s.astype(self.dtype) + ln0_b.astype(self.dtype)
+            B, L, _ = seq.shape
+            h, dh = cfg.num_heads, D // cfg.num_heads
+            q = (y @ wq.astype(y.dtype) + bq.astype(y.dtype)).reshape(B, L, h, dh)
+            k = (y @ wk.astype(y.dtype) + bk.astype(y.dtype)).reshape(B, L, h, dh)
+            v = (y @ wv.astype(y.dtype) + bv.astype(y.dtype)).reshape(B, L, h, dh)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * dh**-0.5
+            p = jax.nn.softmax(scores, axis=-1)
+            p = nn.Dropout(cfg.dropout)(p, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            y = ctx.astype(seq.dtype).reshape(B, L, D)
+            y = y @ wo.astype(seq.dtype) + bo.astype(seq.dtype)
+            seq = seq + DropPath(self.drop_path)(y, deterministic)
+
+            yf = seq.astype(jnp.float32)
+            mu = yf.mean(-1, keepdims=True)
+            var = ((yf - mu) ** 2).mean(-1, keepdims=True)
+            y = ((yf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
+            y = y * ln1_s.astype(self.dtype) + ln1_b.astype(self.dtype)
+            if self.shared_ffn is not None:
+                y = self.shared_ffn(y, deterministic)
+            else:
+                (w1, b1), (w2, b2) = mlp_holder()
+                y = jax.nn.gelu(y @ w1.astype(y.dtype) + b1.astype(y.dtype))
+                y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+                y = y @ w2.astype(y.dtype) + b2.astype(y.dtype)
+                y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+            seq = seq + DropPath(self.drop_path)(y, deterministic)
 
         # small bottleneck adapter (model.py:443-446)
         a = nn.Dense(D // 4, dtype=self.dtype, name="adapter_down")(seq)
         a = nn.gelu(a)
         a = nn.Dense(D, dtype=self.dtype, name="adapter_up")(a)
-        seq = nn.LayerNorm(dtype=self.dtype)(seq + a)
+        seq = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_2")(seq + a)
 
-        pooled = seq[:, 0, :] if cfg.use_cls_only else seq.mean(axis=1)
+        if cfg.use_cls_only:
+            pooled = seq[:, 0, :]
+        elif Lp != Lr:
+            w = jnp.concatenate([jnp.ones((Lr,), jnp.float32),
+                                 jnp.zeros((Lp - Lr,), jnp.float32)])
+            pooled = jnp.einsum("bld,l->bd", seq.astype(jnp.float32),
+                                w) / float(Lr)
+            pooled = pooled.astype(seq.dtype)
+        else:
+            pooled = seq.mean(axis=1)
         return pooled, attn
 
 
@@ -251,6 +352,28 @@ class MultiModalRetrievalModel(nn.Module):
         joint = nn.Dense(D, dtype=self.dtype, name="joint_init")(
             jnp.concatenate([img_global, txt_cls], axis=-1)
         )
+
+        # Fused fusion-stack path (TPU): all 5 layers re-attend the SAME
+        # backbone features (reference quirk), so pad the patches to a
+        # Mosaic-friendly token count ONCE with a validity mask; every
+        # attention op masks the pad keys, keeping real-row outputs equal to
+        # the unpadded XLA path (tests/test_fusion_fused.py).
+        from mmrp_tpu.models.fusion import _use_fused_attn
+
+        Np = img_patches.shape[1]
+        fused_stack = (
+            not return_attention
+            and _use_fused_attn(True, deterministic, cfg.dropout)
+        )
+        img_patches_f, img_mask = img_patches, None
+        if fused_stack and Np % 8 != 0:
+            P = ((Np + 7) // 8) * 8
+            B = img_patches.shape[0]
+            img_patches_f = jnp.pad(
+                img_patches, ((0, 0), (0, P - Np), (0, 0)))
+            img_mask = jnp.broadcast_to(
+                (jnp.arange(P) < Np).astype(jnp.int32)[None], (B, P))
+
         attn_maps = []
         for i in range(cfg.num_fusion_layers):
             dp = cfg.drop_path * i / max(cfg.num_fusion_layers - 1, 1)
@@ -259,8 +382,10 @@ class MultiModalRetrievalModel(nn.Module):
                 drop_path=dp,
                 shared_ffn=shared_ffn,
                 dtype=self.dtype,
+                num_patches_real=Np,
                 name=f"fusion_layer{i}",
-            )(img_patches, img_global, txt_tokens, txt_mask, deterministic)
+            )(img_patches_f, img_global, txt_tokens, txt_mask, deterministic,
+              need_attn=return_attention, img_mask=img_mask)
             joint = nn.LayerNorm(dtype=self.dtype, name=f"joint_norm{i}")(joint + pooled)
             if return_attention:
                 attn_maps.append(attn)

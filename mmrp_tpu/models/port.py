@@ -50,10 +50,8 @@ def convert_hf_bert(state_dict: Mapping, num_layers: int, num_heads: int) -> Dic
     D = sd[f"{pfx}embeddings.word_embeddings.weight"].shape[1]
     hd = D // num_heads
 
-    def attn_in(name):  # (D, D) torch -> (D, heads, hd) flax
-        k = _t(sd[f"{name}.weight"]).reshape(D, num_heads, hd)
-        b = sd[f"{name}.bias"].reshape(num_heads, hd)
-        return {"kernel": k, "bias": b}
+    def attn_in(name):  # torch Linear (out, in) -> 2D (in, out) kernel
+        return {"kernel": _t(sd[f"{name}.weight"]), "bias": sd[f"{name}.bias"]}
 
     params: Dict = {
         "embeddings": {
@@ -68,16 +66,12 @@ def convert_hf_bert(state_dict: Mapping, num_layers: int, num_heads: int) -> Dic
     }
     for i in range(num_layers):
         lp = f"{pfx}encoder.layer.{i}"
-        out_k = _t(sd[f"{lp}.attention.output.dense.weight"]).reshape(num_heads, hd, D)
         params[f"layer{i}"] = {
             "attention": {
                 "query": attn_in(f"{lp}.attention.self.query"),
                 "key": attn_in(f"{lp}.attention.self.key"),
                 "value": attn_in(f"{lp}.attention.self.value"),
-                "out": {
-                    "kernel": out_k,
-                    "bias": sd[f"{lp}.attention.output.dense.bias"],
-                },
+                "out": attn_in(f"{lp}.attention.output.dense"),
             },
             "attn_norm": {
                 "scale": sd[f"{lp}.attention.output.LayerNorm.weight"],

@@ -33,6 +33,7 @@ class TextConfig:
     dropout: float = 0.1
     type_vocab_size: int = 2
     use_fused_ffn: bool = False  # Pallas FFN kernel (slower at BERT shapes)
+    use_fused_attention: bool = True  # Pallas LN+qkv+attn+proj kernel (TPU)
 
     @staticmethod
     def clinicalbert(**kw) -> "TextConfig":
@@ -89,18 +90,59 @@ class BertLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask, deterministic: bool = True):
-        from mmrp_tpu.models.layers import DenseParams, LnParams
+    def __call__(self, x, key_mask, deterministic: bool = True):
+        """x: (B, L, D); key_mask: (B, L) ADDITIVE f32 (0 valid / -1e9 pad)."""
+        from mmrp_tpu.models.layers import DenseParams, LnParams, MhaParams
 
         cfg = self.config
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.num_heads,
-            dropout_rate=cfg.dropout,
-            dtype=self.dtype,
-            name="attention",
-        )(x, x, mask=attn_mask, deterministic=deterministic)
-        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x + y)
+        (wq, bq), (wk, bk), (wv, bv), (wo, bo) = MhaParams(
+            cfg.hidden_dim, name="attention")()
+        ln_s, ln_b = LnParams(name="attn_norm")(cfg.hidden_dim)
+
+        # Fused Pallas path: qkv + attention + proj + residual + post-LN in
+        # VMEM (ops/fused_attention.py) — every GEMM here is HBM-bound on the
+        # target chip (docs/ROOFLINE.md), so the win is byte elimination.
+        # Training with dropout>0 takes the XLA path (kernel has no interior
+        # dropout); gradients through the kernel come from its custom VJP.
+        use_fused = (
+            cfg.use_fused_attention
+            and (deterministic or cfg.dropout == 0.0)
+            and (jax.default_backend() == "tpu"
+                 or __import__("os").environ.get("MMRP_FORCE_PALLAS") == "1")
+        )
+        if use_fused:
+            from mmrp_tpu.ops.fused_attention import fused_attention
+
+            x = fused_attention(
+                x, ln_s.astype(jnp.float32), ln_b.astype(jnp.float32),
+                wq.astype(self.dtype), bq.astype(self.dtype),
+                wk.astype(self.dtype), bk.astype(self.dtype),
+                wv.astype(self.dtype), bv.astype(self.dtype),
+                wo.astype(self.dtype), bo.astype(self.dtype),
+                key_mask=key_mask, num_heads=cfg.num_heads, ln_mode="post",
+            )
+        else:
+            h = cfg.num_heads
+            B, L, D = x.shape
+            d = D // h
+            q = (x @ wq.astype(x.dtype) + bq.astype(x.dtype)).reshape(B, L, h, d)
+            k = (x @ wk.astype(x.dtype) + bk.astype(x.dtype)).reshape(B, L, h, d)
+            v = (x @ wv.astype(x.dtype) + bv.astype(x.dtype)).reshape(B, L, h, d)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * d**-0.5
+            scores = scores + key_mask.astype(jnp.float32)[:, None, None, :]
+            p = jax.nn.softmax(scores, axis=-1)
+            p = nn.Dropout(cfg.dropout)(p, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(x.dtype), v,
+                             preferred_element_type=jnp.float32)
+            ctx = ctx.astype(x.dtype).reshape(B, L, D)
+            y = ctx @ wo.astype(x.dtype) + bo.astype(x.dtype)
+            y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+            xf = (x + y).astype(jnp.float32)
+            mu = xf.mean(-1, keepdims=True)
+            var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+            x = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
+            x = x * ln_s.astype(self.dtype) + ln_b.astype(self.dtype)
 
         # FFN params declared explicitly: fused Pallas kernel (inference) and
         # autodiff XLA path share one checkpoint tree (port.py unchanged)
@@ -156,10 +198,11 @@ class TextEncoder(nn.Module):
         x = BertEmbeddings(cfg, dtype=self.dtype, name="embeddings")(
             input_ids, deterministic
         )
-        # (B, 1, Lq, Lk) broadcastable attention mask over keys
-        mask = attention_mask[:, None, None, :].astype(bool)
+        # (B, Lk) ADDITIVE key mask (0 valid / -1e9 pad) — the compact form
+        # both the fused kernel and the XLA path consume
+        key_mask = jnp.where(attention_mask > 0, 0.0, -1e9).astype(jnp.float32)
         for i in range(cfg.num_layers):
             x = BertLayer(cfg, dtype=self.dtype, name=f"layer{i}")(
-                x, mask, deterministic
+                x, key_mask, deterministic
             )
         return {"tokens": x, "cls": x[:, 0, :]}
