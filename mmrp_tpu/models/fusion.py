@@ -72,6 +72,7 @@ class CrossAttention(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_fused: bool = True
+    quant: bool = False   # W8A8 int8 GEMMs (serving; ops/quant.py)
 
     @nn.compact
     def __call__(
@@ -94,6 +95,7 @@ class CrossAttention(nn.Module):
 
         if (
             not need_weights
+            and not self.quant
             and _use_fused_attn(self.use_fused, deterministic, self.dropout,
                                 Lq, Lk)
         ):
@@ -118,12 +120,21 @@ class CrossAttention(nn.Module):
             return out, None
 
         d = D // H
-        q = (q_in @ wq.astype(q_in.dtype) + bq.astype(q_in.dtype)).reshape(
-            B, Lq, H, d)
-        k = (kv_in @ wk.astype(kv_in.dtype) + bk.astype(kv_in.dtype)).reshape(
-            B, Lk, H, d)
-        v = (kv_in @ wv.astype(kv_in.dtype) + bv.astype(kv_in.dtype)).reshape(
-            B, Lk, H, d)
+        if self.quant:
+            from mmrp_tpu.ops.quant import quant_dot, quant_dot_multi
+
+            (q,) = quant_dot_multi(q_in, [(wq, bq)])
+            k, v = quant_dot_multi(kv_in, [(wk, bk), (wv, bv)])
+            q = q.reshape(B, Lq, H, d)
+            k = k.reshape(B, Lk, H, d)
+            v = v.reshape(B, Lk, H, d)
+        else:
+            q = (q_in @ wq.astype(q_in.dtype) + bq.astype(q_in.dtype)).reshape(
+                B, Lq, H, d)
+            k = (kv_in @ wk.astype(kv_in.dtype) + bk.astype(kv_in.dtype)).reshape(
+                B, Lk, H, d)
+            v = (kv_in @ wv.astype(kv_in.dtype) + bv.astype(kv_in.dtype)).reshape(
+                B, Lk, H, d)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * d**-0.5
         if add_mask is not None:
@@ -133,7 +144,10 @@ class CrossAttention(nn.Module):
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn_d.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         ctx = ctx.astype(q_in.dtype).reshape(B, Lq, D)
-        out = ctx @ wo.astype(q_in.dtype) + bo.astype(q_in.dtype)
+        if self.quant:
+            out = quant_dot(ctx, wo, bo)
+        else:
+            out = ctx @ wo.astype(q_in.dtype) + bo.astype(q_in.dtype)
         if post_ln is not None:
             ln_s, ln_b = post_ln
             yf = (q_in + out).astype(jnp.float32)
@@ -159,6 +173,7 @@ class PreFusionEnhancer(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_fused: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -179,7 +194,8 @@ class PreFusionEnhancer(nn.Module):
                 [pos[0], jnp.zeros((N - self.max_len, D), pos.dtype)], axis=0)
         add_mask = _additive_mask(mask, B, N)
 
-        if _use_fused_attn(self.use_fused, deterministic, self.dropout, N):
+        if not self.quant and _use_fused_attn(
+                self.use_fused, deterministic, self.dropout, N):
             from mmrp_tpu.ops.fused_attention import fused_attention
 
             return fused_attention(
@@ -200,9 +216,15 @@ class PreFusionEnhancer(nn.Module):
         y = ((yf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
         y = y * ln_s.astype(self.dtype) + ln_b.astype(self.dtype)
         h, d = self.num_heads, D // self.num_heads
-        q = (y @ wq.astype(y.dtype) + bq.astype(y.dtype)).reshape(B, N, h, d)
-        k = (y @ wk.astype(y.dtype) + bk.astype(y.dtype)).reshape(B, N, h, d)
-        v = (y @ wv.astype(y.dtype) + bv.astype(y.dtype)).reshape(B, N, h, d)
+        if self.quant:
+            from mmrp_tpu.ops.quant import quant_dot, quant_dot_multi
+
+            q, k, v = quant_dot_multi(y, [(wq, bq), (wk, bk), (wv, bv)])
+            q, k, v = (t.reshape(B, N, h, d) for t in (q, k, v))
+        else:
+            q = (y @ wq.astype(y.dtype) + bq.astype(y.dtype)).reshape(B, N, h, d)
+            k = (y @ wk.astype(y.dtype) + bk.astype(y.dtype)).reshape(B, N, h, d)
+            v = (y @ wv.astype(y.dtype) + bv.astype(y.dtype)).reshape(B, N, h, d)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * d**-0.5
         if add_mask is not None:
@@ -212,7 +234,10 @@ class PreFusionEnhancer(nn.Module):
         ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         ctx = ctx.astype(x.dtype).reshape(B, N, D)
-        y = ctx @ wo.astype(x.dtype) + bo.astype(x.dtype)
+        if self.quant:
+            y = quant_dot(ctx, wo, bo)
+        else:
+            y = ctx @ wo.astype(x.dtype) + bo.astype(x.dtype)
         return x + alpha.astype(x.dtype) * y
 
 
@@ -233,6 +258,7 @@ class CrossModalFusion(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_fused: bool = True
+    quant: bool = False
     pad_seq_to: Optional[int] = None  # emit [cls, real patches, txt, 0-pad]
 
     @nn.compact
@@ -250,11 +276,11 @@ class CrossModalFusion(nn.Module):
         # per-modality enhancement before fusion (fusion.py:408-421)
         txt_e = PreFusionEnhancer(
             D, self.num_heads, self.max_text_len, self.dropout, self.dtype,
-            use_fused=self.use_fused, name="txt_enh",
+            use_fused=self.use_fused, quant=self.quant, name="txt_enh",
         )(txt_tokens, txt_mask, deterministic)
         pat_e = PreFusionEnhancer(
             D, self.num_heads, self.num_patches, self.dropout, self.dtype,
-            use_fused=self.use_fused, name="img_enh",
+            use_fused=self.use_fused, quant=self.quant, name="img_enh",
         )(img_patches, img_mask, deterministic)
 
         tn_s, tn_b = LnParams(name="txt_norm")(D)
@@ -265,12 +291,12 @@ class CrossModalFusion(nn.Module):
         # (folded into the kernel via post_ln)
         txt, attn_t2i = CrossAttention(
             D, self.num_heads, self.dropout, self.dtype,
-            use_fused=self.use_fused, name="txt2img",
+            use_fused=self.use_fused, quant=self.quant, name="txt2img",
         )(txt_e, pat_e, img_mask, deterministic, need_attn,
           post_ln=(tn_s, tn_b))
         patches, attn_i2t = CrossAttention(
             D, self.num_heads, self.dropout, self.dtype,
-            use_fused=self.use_fused, name="img2txt",
+            use_fused=self.use_fused, quant=self.quant, name="img2txt",
         )(pat_e, txt_e, txt_mask, deterministic, need_attn,
           post_ln=(in_s, in_b))
 

@@ -51,6 +51,7 @@ class MultiModalConfig:
     dropout: float = 0.1
     drop_path: float = 0.1
     max_text_len: int = 512
+    quant: str = "none"  # "int8": W8A8 GEMMs in the fusion stack (serving)
 
     @staticmethod
     def from_config(cfg: Config, num_classes: int = 43, flagship: bool = False) -> "MultiModalConfig":
@@ -169,10 +170,12 @@ class FusionLayer(nn.Module):
 
         cfg = self.config
         D = cfg.joint_dim
+        quant = cfg.quant == "int8" and (deterministic or cfg.dropout == 0.0)
         Np = self.num_patches_real or img_patches.shape[1]
         Lr = Np + 2                      # real sequence length (cls+Np+txt)
         use_fused = (
             not need_attn
+            and not quant
             and self.shared_ffn is None
             and (deterministic or self.drop_path == 0.0)
             and _use_fused_attn(True, deterministic, cfg.dropout)
@@ -186,6 +189,7 @@ class FusionLayer(nn.Module):
             max_text_len=cfg.max_text_len,
             dropout=cfg.dropout,
             dtype=self.dtype,
+            quant=quant,
             pad_seq_to=Lp if Lp != Lr else None,
             name="fusion",
         )(img_patches, img_global, txt_tokens, txt_mask, deterministic,
@@ -243,9 +247,15 @@ class FusionLayer(nn.Module):
             y = y * ln0_s.astype(self.dtype) + ln0_b.astype(self.dtype)
             B, L, _ = seq.shape
             h, dh = cfg.num_heads, D // cfg.num_heads
-            q = (y @ wq.astype(y.dtype) + bq.astype(y.dtype)).reshape(B, L, h, dh)
-            k = (y @ wk.astype(y.dtype) + bk.astype(y.dtype)).reshape(B, L, h, dh)
-            v = (y @ wv.astype(y.dtype) + bv.astype(y.dtype)).reshape(B, L, h, dh)
+            if quant:
+                from mmrp_tpu.ops.quant import quant_dot, quant_dot_multi
+
+                q, k, v = quant_dot_multi(y, [(wq, bq), (wk, bk), (wv, bv)])
+                q, k, v = (t.reshape(B, L, h, dh) for t in (q, k, v))
+            else:
+                q = (y @ wq.astype(y.dtype) + bq.astype(y.dtype)).reshape(B, L, h, dh)
+                k = (y @ wk.astype(y.dtype) + bk.astype(y.dtype)).reshape(B, L, h, dh)
+                v = (y @ wv.astype(y.dtype) + bv.astype(y.dtype)).reshape(B, L, h, dh)
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) * dh**-0.5
             p = jax.nn.softmax(scores, axis=-1)
@@ -253,7 +263,10 @@ class FusionLayer(nn.Module):
             ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
             y = ctx.astype(seq.dtype).reshape(B, L, D)
-            y = y @ wo.astype(seq.dtype) + bo.astype(seq.dtype)
+            if quant:
+                y = quant_dot(y, wo, bo)
+            else:
+                y = y @ wo.astype(seq.dtype) + bo.astype(seq.dtype)
             seq = seq + DropPath(self.drop_path)(y, deterministic)
 
             yf = seq.astype(jnp.float32)
@@ -263,6 +276,12 @@ class FusionLayer(nn.Module):
             y = y * ln1_s.astype(self.dtype) + ln1_b.astype(self.dtype)
             if self.shared_ffn is not None:
                 y = self.shared_ffn(y, deterministic)
+            elif quant:
+                from mmrp_tpu.ops.quant import quant_dot as _qd
+
+                (w1, b1), (w2, b2) = mlp_holder()
+                y = jax.nn.gelu(_qd(y, w1, b1))
+                y = _qd(y, w2, b2)
             else:
                 (w1, b1), (w2, b2) = mlp_holder()
                 y = jax.nn.gelu(y @ w1.astype(y.dtype) + b1.astype(y.dtype))
@@ -363,6 +382,7 @@ class MultiModalRetrievalModel(nn.Module):
         Np = img_patches.shape[1]
         fused_stack = (
             not return_attention
+            and cfg.quant != "int8"
             and _use_fused_attn(True, deterministic, cfg.dropout)
         )
         img_patches_f, img_mask = img_patches, None

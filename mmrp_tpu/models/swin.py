@@ -64,6 +64,9 @@ class SwinConfig:
     drop_path_rate: float = 0.1
     dropout: float = 0.0
     use_pallas: bool = True
+    # per-stage override of use_pallas (None = use_pallas everywhere): lets
+    # late stages (tiny nW, wide C) take the XLA path where measured faster
+    pallas_stages: Optional[Tuple[bool, ...]] = None
     remat: bool = False  # jax.checkpoint per block: FLOPs for activation memory
 
     @property
@@ -158,6 +161,27 @@ class MlpParams(nn.Module):
         d0 = DenseParams(self.hidden, name="Dense_0")(self.out)
         d1 = DenseParams(self.out, name="Dense_1")(self.hidden)
         return d0, d1
+
+
+class WinAttnParams(nn.Module):
+    """WindowAttention's parameters (same tree: rel_bias_table/qkv/proj)
+    without the computation — consumed by the whole-block fused kernel."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self):
+        rel_table = self.param(
+            "rel_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        qkv = DenseParams(self.dim * 3, name="qkv")(self.dim)
+        proj = DenseParams(self.dim, name="proj")(self.dim)
+        return rel_table, qkv, proj
 
 
 class WindowAttention(nn.Module):
@@ -261,6 +285,52 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         ln0_s, ln0_b = LnParams(name="LayerNorm_0")(self.dim)
+
+        # Whole-block fused path (serving/eval): LN0+qkv+attn+proj+residual
+        # +LN1+MLP+residual in ONE VMEM residency — the feature map makes a
+        # single HBM round trip per block instead of four. Parameter trees
+        # are identical to the unfused path (WinAttnParams mirrors
+        # WindowAttention; LnParams/MlpParams are shared declarations).
+        H_, W_ = self.input_resolution
+        ws = self.window_size
+        if (
+            self.use_pallas
+            and deterministic
+            and _pallas_backend()
+            and os.environ.get("MMRP_SWIN_WHOLE", "0") == "1"
+            and H_ % ws == 0 and W_ % ws == 0
+        ):
+            from mmrp_tpu.ops.fused_swin_block import (
+                build_bias_padded,
+                fused_swin_block_windows,
+            )
+
+            rel_table, (qkv_k, qkv_b), (proj_k, proj_b) = WinAttnParams(
+                self.dim, self.num_heads, ws, name="attn")()
+            ln1_s, ln1_b = LnParams(name="LayerNorm_1")(self.dim)
+            hidden = int(self.dim * self.mlp_ratio)
+            (w1, b1), (w2, b2) = MlpParams(hidden, self.dim, name="mlp")()
+
+            shift = self.shift if min(H_, W_) > ws else 0
+            xs = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2)) if shift \
+                else x
+            bias_pad = build_bias_padded(rel_table, ws, H_, W_, shift)
+            xw = window_partition(xs, ws)
+            ow = fused_swin_block_windows(
+                xw,
+                ln0_s.astype(jnp.float32), ln0_b.astype(jnp.float32),
+                qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
+                proj_k.astype(self.dtype), proj_b.astype(self.dtype),
+                ln1_s.astype(jnp.float32), ln1_b.astype(jnp.float32),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                bias_pad, self.num_heads,
+            )
+            out = window_reverse(ow, ws, H_, W_)
+            if shift:
+                out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
+            return out
+
         y, residual_included = WindowAttention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -354,6 +424,8 @@ class SwinEncoder(nn.Module):
         dim = cfg.embed_dim
         block_cls = nn.remat(SwinBlock) if cfg.remat else SwinBlock
         for stage, depth in enumerate(cfg.depths):
+            stage_pallas = cfg.use_pallas if cfg.pallas_stages is None \
+                else bool(cfg.pallas_stages[stage])
             for blk in range(depth):
                 x = block_cls(
                     dim=dim,
@@ -364,7 +436,7 @@ class SwinEncoder(nn.Module):
                     mlp_ratio=cfg.mlp_ratio,
                     drop_path=float(dpr[block_idx]),
                     dropout=cfg.dropout,
-                    use_pallas=cfg.use_pallas,
+                    use_pallas=stage_pallas,
                     dtype=self.dtype,
                     name=f"stage{stage}_block{blk}",
                 )(x, deterministic)

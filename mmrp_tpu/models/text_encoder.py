@@ -34,6 +34,10 @@ class TextConfig:
     type_vocab_size: int = 2
     use_fused_ffn: bool = False  # Pallas FFN kernel (slower at BERT shapes)
     use_fused_attention: bool = True  # Pallas LN+qkv+attn+proj kernel (TPU)
+    # serving quantization (ops/quant.py): "int8" = all GEMMs W8A8 (XLA
+    # path); "int8_ffn" = fused bf16 attention kernel + W8A8 FFN (measured
+    # optimum on the target chip — see tools/ab_bench.py)
+    quant: str = "none"
 
     @staticmethod
     def clinicalbert(**kw) -> "TextConfig":
@@ -104,8 +108,16 @@ class BertLayer(nn.Module):
         # target chip (docs/ROOFLINE.md), so the win is byte elimination.
         # Training with dropout>0 takes the XLA path (kernel has no interior
         # dropout); gradients through the kernel come from its custom VJP.
+        # quant modes (serving): "int8" = every GEMM W8A8 on the XLA path;
+        # "int8_ffn" = fused bf16 attention kernel + W8A8 FFN — the measured
+        # optimum (attention is BW-bound -> byte elimination wins; the FFN is
+        # FLOP-bound -> cheaper MACs win). See tools/ab_bench.py.
+        quant_ok = deterministic or cfg.dropout == 0.0
+        quant = cfg.quant == "int8" and quant_ok
+        quant_ffn = cfg.quant in ("int8", "int8_ffn") and quant_ok
         use_fused = (
             cfg.use_fused_attention
+            and not quant
             and (deterministic or cfg.dropout == 0.0)
             and (jax.default_backend() == "tpu"
                  or __import__("os").environ.get("MMRP_FORCE_PALLAS") == "1")
@@ -125,9 +137,16 @@ class BertLayer(nn.Module):
             h = cfg.num_heads
             B, L, D = x.shape
             d = D // h
-            q = (x @ wq.astype(x.dtype) + bq.astype(x.dtype)).reshape(B, L, h, d)
-            k = (x @ wk.astype(x.dtype) + bk.astype(x.dtype)).reshape(B, L, h, d)
-            v = (x @ wv.astype(x.dtype) + bv.astype(x.dtype)).reshape(B, L, h, d)
+            if quant:
+                from mmrp_tpu.ops.quant import quant_dot_multi
+
+                q, k, v = quant_dot_multi(
+                    x, [(wq, bq), (wk, bk), (wv, bv)])
+                q, k, v = (t.reshape(B, L, h, d) for t in (q, k, v))
+            else:
+                q = (x @ wq.astype(x.dtype) + bq.astype(x.dtype)).reshape(B, L, h, d)
+                k = (x @ wk.astype(x.dtype) + bk.astype(x.dtype)).reshape(B, L, h, d)
+                v = (x @ wv.astype(x.dtype) + bv.astype(x.dtype)).reshape(B, L, h, d)
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) * d**-0.5
             scores = scores + key_mask.astype(jnp.float32)[:, None, None, :]
@@ -136,7 +155,12 @@ class BertLayer(nn.Module):
             ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(x.dtype), v,
                              preferred_element_type=jnp.float32)
             ctx = ctx.astype(x.dtype).reshape(B, L, D)
-            y = ctx @ wo.astype(x.dtype) + bo.astype(x.dtype)
+            if quant:
+                from mmrp_tpu.ops.quant import quant_dot
+
+                y = quant_dot(ctx, wo, bo)
+            else:
+                y = ctx @ wo.astype(x.dtype) + bo.astype(x.dtype)
             y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
             xf = (x + y).astype(jnp.float32)
             mu = xf.mean(-1, keepdims=True)
@@ -169,8 +193,14 @@ class BertLayer(nn.Module):
             )
             return out.reshape(B, L, D)
 
-        y = jax.nn.gelu(x @ w1.astype(x.dtype) + b1.astype(x.dtype))
-        y = y @ w2.astype(x.dtype) + b2.astype(x.dtype)
+        if quant_ffn:
+            from mmrp_tpu.ops.quant import quant_dot
+
+            y = jax.nn.gelu(quant_dot(x, w1, b1))
+            y = quant_dot(y, w2, b2)
+        else:
+            y = jax.nn.gelu(x @ w1.astype(x.dtype) + b1.astype(x.dtype))
+            y = y @ w2.astype(x.dtype) + b2.astype(x.dtype)
         y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
         xf = (x + y).astype(jnp.float32)
         mu = xf.mean(-1, keepdims=True)

@@ -1,0 +1,359 @@
+"""Whole-Swin-block Pallas kernel: LN+qkv+attn+proj+res+LN+MLP+res in VMEM.
+
+Round-2 trace analysis (docs/ROOFLINE.md): with the attention-only window
+kernel (ops/fused_window_attention.py) + separate MLP pass, Swin-T still
+burns ~17.5 ms of the 44 ms embed step at only ~33 TFLOP/s effective. The
+residue is op-boundary traffic — the feature map makes FOUR HBM round
+trips per block (attn kernel, residual add, MLP, residual add), plus
+f32<->bf16 converts around every LayerNorm — and small-M GEMM latency:
+the attention kernel runs one (49, C) GEMM per window, serialized.
+
+This kernel computes an ENTIRE Swin block,
+
+    y   = x + proj(attn(LN0(x)))
+    out = y + W2 @ gelu(W1 @ LN1(y))
+
+in one VMEM residency: the feature map is read once and written once per
+block. Windows are padded 49 -> 56 tokens (one sublane tile) so that the
+(ib, wblk, 56, C) block reshapes LOSSLESSLY to (ib*wblk*56, C) rows —
+qkv, proj, and both MLP GEMMs each run as a SINGLE large-M matmul over
+every window in the block (M = ib*wblk*56 >= 448 by default), replacing
+the per-window M=49 GEMM chains that left stage 3 at 2.3x off roof. Pad
+tokens cost +14% GEMM FLOPs (Swin is bandwidth/latency-bound here, not
+FLOP-bound) and are masked out of attention via -1e9 pad-key bias; pad
+rows carry garbage that window_reverse_padded never reads.
+
+Reference parity target: timm swin blocks consumed via
+/root/reference/src/Model/fusion.py:92 (swin_base_patch4_window7_224);
+block math matches models/swin.py::SwinBlock's XLA path (oracle in
+tests/test_fused_swin_block.py).
+
+Differentiable via custom VJP (XLA recompute), though the model uses it
+on the deterministic/serving path; training composes the per-part fused
+kernels which support DropPath's branch separation.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+# ---------------------------------------------------------------------------
+# Padded window layout helpers (XLA side)
+# ---------------------------------------------------------------------------
+
+
+def padded_tokens(ws: int) -> int:
+    """Window token count rounded up to a sublane tile (8)."""
+    return ((ws * ws + 7) // 8) * 8
+
+
+def window_partition_padded(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, nW, npad, C); rows ws*ws..npad are zero.
+
+    NOTE: the kernel no longer wants pre-padded windows (the pad copy cost
+    a full extra HBM round trip per block — measured regression); it pads
+    in VMEM. Kept for tests/diagnostics."""
+    from mmrp_tpu.ops.window_attention import window_partition
+
+    xw = window_partition(x, ws)  # (B, nW, N, C)
+    npad = padded_tokens(ws)
+    n = ws * ws
+    if npad == n:
+        return xw
+    return jnp.pad(xw, ((0, 0), (0, 0), (0, npad - n), (0, 0)))
+
+
+def window_reverse_padded(xw: jnp.ndarray, ws: int, H: int, W: int) -> jnp.ndarray:
+    """(B, nW, npad, C) -> (B, H, W, C), dropping pad rows."""
+    from mmrp_tpu.ops.window_attention import window_reverse
+
+    return window_reverse(xw[:, :, : ws * ws], ws, H, W)
+
+
+def build_bias_padded(rel_bias_table, ws: int, H: int, W: int, shift: int):
+    """(nW, h, npad, npad) f32: rel-pos bias + shift mask + pad-key mask."""
+    from mmrp_tpu.ops.fused_window_attention import build_bias_full
+
+    bias = build_bias_full(rel_bias_table, ws, H, W, shift)  # (nW, h, N, N)
+    npad = padded_tokens(ws)
+    n = ws * ws
+    if npad == n:
+        return bias
+    bias = jnp.pad(bias, ((0, 0), (0, 0), (0, npad - n), (0, npad - n)))
+    key_pad = jnp.where(jnp.arange(npad) >= n, -1e9, 0.0).astype(jnp.float32)
+    return bias + key_pad[None, None, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _ln_rows(xf, scale_ref, bias_ref, eps):
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale_ref[...][None, :] \
+        + bias_ref[...][None, :]
+
+
+def _kernel(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+            bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            bias_ref, o_ref, *, num_heads: int, scale: float, eps: float,
+            npad: int):
+    ib, wblk, N, C = x_ref.shape        # N = ws*ws (unpadded)
+    h = num_heads
+    d = C // h
+    rows = ib * wblk * npad
+    nb = ib * wblk
+
+    x4 = x_ref[...]
+    if npad != N:
+        # pad windows to a sublane tile IN VMEM (a pre-padded HBM layout
+        # cost one extra full-map round trip per block — measured)
+        x4 = jnp.concatenate(
+            [x4, jnp.zeros((ib, wblk, npad - N, C), x4.dtype)], axis=2)
+    x2 = x4.reshape(rows, C)            # lossless: npad % 8 == 0
+    xf2 = x2.astype(jnp.float32)
+
+    # --- attention half ---
+    qin = _ln_rows(xf2, ln0_s_ref, ln0_b_ref, eps).astype(x2.dtype)
+    qkv2 = (
+        jnp.dot(qin, wqkv_ref[...], preferred_element_type=jnp.float32)
+        + bqkv_ref[...][None, :]
+    ).astype(x2.dtype)                   # (rows, 3C) — ONE GEMM, all windows
+    qkv3 = qkv2.reshape(nb, npad, 3 * C)
+
+    head_outs = []
+    for head in range(h):
+        sl = slice(head * d, (head + 1) * d)
+        q = qkv3[:, :, head * d : (head + 1) * d]
+        k = qkv3[:, :, C + head * d : C + (head + 1) * d]
+        v = qkv3[:, :, 2 * C + head * d : 2 * C + (head + 1) * d]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                        # (nb, npad, npad)
+        bias_h = bias_ref[:, head]                       # (wblk, npad, npad)
+        if ib > 1:
+            bias_h = jnp.broadcast_to(
+                bias_h[None], (ib, wblk, npad, npad)
+            ).reshape(nb, npad, npad)
+        scores = scores + bias_h
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x2.dtype)
+        head_outs.append(
+            jax.lax.dot_general(
+                p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x2.dtype)                           # (nb, npad, d)
+        )
+    attn3 = jnp.concatenate(head_outs, axis=-1)          # (nb, npad, C)
+    attn2 = attn3.reshape(rows, C)
+
+    y2 = xf2 + (
+        jnp.dot(attn2, wproj_ref[...], preferred_element_type=jnp.float32)
+        + bproj_ref[...][None, :]
+    )                                                    # (rows, C) f32
+
+    # --- MLP half ---
+    z = _ln_rows(y2, ln1_s_ref, ln1_b_ref, eps).astype(x2.dtype)
+    hdn = jax.nn.gelu(
+        jnp.dot(z, w1_ref[...], preferred_element_type=jnp.float32)
+        + b1_ref[...][None, :]
+    ).astype(x2.dtype)
+    out2 = y2 + (
+        jnp.dot(hdn, w2_ref[...], preferred_element_type=jnp.float32)
+        + b2_ref[...][None, :]
+    )
+    out4 = out2.astype(x_ref.dtype).reshape(ib, wblk, npad, C)
+    o_ref[...] = out4[:, :, :N]         # pad rows never reach HBM
+
+
+def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
+                 ln1_s, ln1_b, w1, b1, w2, b2, bias_pad,
+                 *, num_heads, eps, wblk, ib, interpret):
+    B, nW, N, C = xw.shape             # N = ws*ws, unpadded
+    npad = bias_pad.shape[-1]
+    hidden = w1.shape[1]
+    d = C // num_heads
+    scale = d**-0.5
+    while wblk > 1 and nW % wblk:
+        wblk //= 2
+    wblk = max(min(wblk, nW), 1)
+    while ib > 1 and B % ib:
+        ib //= 2
+    ib = max(ib, 1)
+
+    vm = dict(memory_space=pltpu.VMEM) if (_HAS_PLTPU and not interpret) else {}
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * B * nW * npad * C * (4 * C + 2 * hidden)
+            + 4 * B * nW * num_heads * npad * npad * d,
+            bytes_accessed=4 * B * nW * N * C * 2
+            + 2 * (4 * C * C + 2 * C * hidden),
+            transcendentals=B * nW * num_heads * npad * npad,
+        )
+    # grid order (window-block OUTER, image-block INNER): the bias block
+    # depends only on the window index, so it stays VMEM-resident across
+    # the whole batch sweep (same reuse argument as the attention kernel).
+    return pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads, scale=scale, eps=eps,
+                          npad=npad),
+        out_shape=jax.ShapeDtypeStruct((B, nW, N, C), xw.dtype),
+        grid=(nW // wblk, B // ib),
+        in_specs=[
+            pl.BlockSpec((ib, wblk, N, C), lambda w, b: (b, w, 0, 0), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C, 3 * C), lambda w, b: (0, 0), **vm),
+            pl.BlockSpec((3 * C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C, C), lambda w, b: (0, 0), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C, hidden), lambda w, b: (0, 0), **vm),
+            pl.BlockSpec((hidden,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((hidden, C), lambda w, b: (0, 0), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec(
+                (wblk, num_heads, npad, npad), lambda w, b: (w, 0, 0, 0), **vm
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ib, wblk, N, C), lambda w, b: (b, w, 0, 0), **vm),
+        interpret=interpret,
+        **kwargs,
+    )(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
+      ln1_s, ln1_b, w1, b1, w2, b2, bias_pad)
+
+
+# ---------------------------------------------------------------------------
+# XLA oracle (same math / dtype discipline) + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def xla_equivalent(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
+                   ln1_s, ln1_b, w1, b1, w2, b2, bias_pad,
+                   *, num_heads: int, eps: float = 1e-6):
+    """Pure-XLA whole-block computation on (unpadded) windows — the
+    autodiff body of the custom VJP and the correctness oracle in tests.
+    bias_pad may be padded (nW, h, npad, npad); only the real N x N slice
+    is consumed."""
+    B, nW, N, C = xw.shape
+    h = num_heads
+    d = C // h
+    scale = d**-0.5
+    bias_pad = bias_pad[:, :, :N, :N]
+
+    def ln(tf, s, b):
+        mu = tf.mean(-1, keepdims=True)
+        var = ((tf - mu) ** 2).mean(-1, keepdims=True)
+        return (tf - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+    xf = xw.astype(jnp.float32)
+    qin = ln(xf, ln0_s, ln0_b).astype(xw.dtype)
+    qkv = (
+        jnp.einsum("bwnc,ck->bwnk", qin, wqkv,
+                   preferred_element_type=jnp.float32) + bqkv
+    ).astype(xw.dtype)
+    qkv = qkv.reshape(B, nW, N, 3, h, d)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+    scores = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias_pad[None]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(xw.dtype)
+    attn = jnp.einsum("bwhqk,bwkhd->bwqhd", p, v,
+                      preferred_element_type=jnp.float32).astype(xw.dtype)
+    attn = attn.reshape(B, nW, N, C)
+    y = xf + (
+        jnp.einsum("bwnc,ck->bwnk", attn, wproj,
+                   preferred_element_type=jnp.float32) + bproj
+    )
+    z = ln(y, ln1_s, ln1_b).astype(xw.dtype)
+    hdn = jax.nn.gelu(
+        jnp.einsum("bwnc,ch->bwnh", z, w1,
+                   preferred_element_type=jnp.float32) + b1
+    ).astype(xw.dtype)
+    out = y + (
+        jnp.einsum("bwnh,hc->bwnc", hdn, w2,
+                   preferred_element_type=jnp.float32) + b2
+    )
+    return out.astype(xw.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(num_heads, eps, wblk, ib, interpret):
+    @jax.custom_vjp
+    def f(xw, *params):
+        return _pallas_impl(xw, *params, num_heads=num_heads, eps=eps,
+                            wblk=wblk, ib=ib, interpret=interpret)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        xw, *params = res
+
+        def body(xw_, *ps):
+            return xla_equivalent(xw_, *ps, num_heads=num_heads, eps=eps)
+
+        _, vjp = jax.vjp(body, xw, *params)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_swin_block_windows(
+    xw: jnp.ndarray,                   # (B, nW, ws*ws, C) windows, RAW
+    ln0_scale, ln0_bias,               # (C,) f32
+    w_qkv, b_qkv, w_proj, b_proj,      # attention projections
+    ln1_scale, ln1_bias,               # (C,) f32
+    w1, b1, w2, b2,                    # MLP
+    bias_pad: jnp.ndarray,             # (nW, h, npad, npad) f32 (pad-masked)
+    num_heads: int,
+    *,
+    block_windows: Optional[int] = None,
+    image_block: Optional[int] = None,
+    ln_eps: float = 1e-6,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """One whole Swin block on padded windows — differentiable."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, nW, _, _ = xw.shape
+    npad = bias_pad.shape[-1]
+    if block_windows is None:
+        block_windows = int(os.environ.get("MMRP_SWBLK", "8"))
+    wblk_eff = min(block_windows, nW)
+    if image_block is None:
+        # target >= ~448 GEMM rows per program so the MXU sees large M even
+        # at late stages (stage 4: nW=1 -> 8 images per program)
+        image_block = int(os.environ.get(
+            "MMRP_SWIB", str(max(1, 448 // (wblk_eff * npad)))))
+    fn = _make_fused(num_heads, float(ln_eps), int(block_windows),
+                     int(image_block), bool(interpret))
+    return fn(xw, ln0_scale, ln0_bias, w_qkv, b_qkv, w_proj, b_proj,
+              ln1_scale, ln1_bias, w1, b1, w2, b2, bias_pad)

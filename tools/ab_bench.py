@@ -43,7 +43,42 @@ def chained_time(fn, params, carry0, iters=20):
         t0 = time.perf_counter()
         _ = float(jfn(params, carry0))
         best = min(best, time.perf_counter() - t0)
+    if os.environ.get("AB_TRACE"):
+        trace_dir = os.environ.get("AB_TRACE_DIR", "/tmp/ab_trace")
+        with jax.profiler.trace(trace_dir):
+            _ = float(jfn(params, carry0))
+        _dump_trace(trace_dir, iters)
     return best / iters
+
+
+def _dump_trace(trace_dir, iters, top=40):
+    """Aggregate the device trace by op-name prefix (see profile_trace.py)."""
+    import collections
+    import re
+
+    import jax
+
+    files = sorted(Path(trace_dir).rglob("*.xplane.pb"))
+    data = jax.profiler.ProfileData.from_file(str(files[-1]))
+    devs = [p for p in data.planes
+            if "TPU" in p.name or "/device:" in p.name] or \
+           [p for p in data.planes if p.name == "/host:CPU"]
+    per = collections.Counter()
+    cnt = collections.Counter()
+    for line in devs[0].lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            m = re.match(r"%([a-zA-Z][\w-]*?)[.\d]*\s", ev.name)
+            op = m.group(1) if m else ev.name[:24]
+            if op == "while":
+                continue
+            per[op] += ev.duration_ns
+            cnt[op] += 1
+    import sys as _sys
+
+    for k, v in per.most_common(top):
+        print(f"{v/1e6/iters:9.3f} ms x{cnt[k]:5d}  {k}", file=_sys.stderr)
 
 
 def main():
@@ -62,6 +97,8 @@ def main():
         cfg = TextConfig.clinicalbert(
             use_fused_ffn=("ffn" in variant),
             use_fused_attention=("noattn" not in variant),
+            quant=("int8_ffn" if "int8ffn" in variant
+                   else ("int8" if "int8" in variant else "none")),
         )
         model = TextEncoder(cfg, dtype=jnp.bfloat16)
         ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, L)).astype(np.int32))
@@ -76,7 +113,7 @@ def main():
 
         dt = chained_time(fn, params, ids)
 
-    elif variant == "fusion":
+    elif variant.startswith("fusion"):
         from mmrp_tpu.models.multimodal import MultiModalConfig
         from mmrp_tpu.models.fusion import CrossModalFusion
         from mmrp_tpu.models.multimodal import FusionLayer
@@ -89,6 +126,7 @@ def main():
             swin=SwinConfig.tiny(), text=TextConfig.clinicalbert(),
             joint_dim=D, num_fusion_layers=5, num_heads=8, num_classes=43,
             max_text_len=L,
+            quant="int8" if "int8" in variant else "none",
         )
 
         fused = "xla" not in variant
@@ -136,9 +174,14 @@ def main():
     elif variant.startswith("swin"):
         from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
 
+        # swin | swin_xla | swin_stages_TTFF (per-stage pallas gating)
         use_pallas = variant != "swin_xla"
-        model = SwinEncoder(SwinConfig.tiny(use_pallas=use_pallas),
-                            dtype=jnp.bfloat16)
+        stages = None
+        if "stages_" in variant:
+            stages = tuple(c == "T" for c in variant.split("stages_")[1])
+        model = SwinEncoder(
+            SwinConfig.tiny(use_pallas=use_pallas, pallas_stages=stages),
+            dtype=jnp.bfloat16)
         img = jnp.asarray(rng.random((B, 224, 224, 3), dtype=np.float32))
         params = model.init(jax.random.PRNGKey(0), img[:1])
         params = jax.tree_util.tree_map(
