@@ -293,11 +293,17 @@ class SwinBlock(nn.Module):
         # WindowAttention; LnParams/MlpParams are shared declarations).
         H_, W_ = self.input_resolution
         ws = self.window_size
+        # Two kernel flavors, auto-selected by width inside the wrapper
+        # (measured via tools/ab_bench.py swin + AB_TRACE per-stage
+        # breakdown): padded single-large-M GEMMs at wide C (stage 3: 1.04
+        # vs ~1.24 ms/block; stage 4: 0.75 vs ~1.0), per-window GEMMs with
+        # the MLP folded at C<=192 where the attention-only kernel already
+        # ran at 77% of the HBM roof and padding regressed (4.56 vs ~3.0).
         if (
             self.use_pallas
             and deterministic
             and _pallas_backend()
-            and os.environ.get("MMRP_SWIN_WHOLE", "0") == "1"
+            and os.environ.get("MMRP_SWIN_WHOLE", "1") == "1"
             and H_ % ws == 0 and W_ % ws == 0
         ):
             from mmrp_tpu.ops.fused_swin_block import (

@@ -185,9 +185,83 @@ def _kernel(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     o_ref[...] = out4[:, :, :N]         # pad rows never reach HBM
 
 
+def _kernel_win(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, bias_ref, o_ref, *, num_heads: int, scale: float,
+                eps: float):
+    """Small-C flavor: per-window 2D GEMMs, no padding anywhere — the
+    attention-only kernel's structure (77% of the HBM roof at stage 1)
+    plus the MLP phase folded in. bias_ref here is UNPADDED (wblk,h,N,N)."""
+    _, wblk, N, C = x_ref.shape
+    h = num_heads
+    d = C // h
+
+    x3 = x_ref[0]                        # (wblk, N, C)
+    xf3 = x3.astype(jnp.float32)
+    mu = jnp.mean(xf3, axis=-1, keepdims=True)
+    var = jnp.mean((xf3 - mu) ** 2, axis=-1, keepdims=True)
+    xn3 = (
+        (xf3 - mu) * jax.lax.rsqrt(var + eps) * ln0_s_ref[...][None, None, :]
+        + ln0_b_ref[...][None, None, :]
+    ).astype(x3.dtype)
+    qkv_b3 = jnp.stack(
+        [
+            (
+                jnp.dot(xn3[w], wqkv_ref[...],
+                        preferred_element_type=jnp.float32)
+                + bqkv_ref[...][None, :]
+            ).astype(x3.dtype)
+            for w in range(wblk)
+        ],
+        axis=0,
+    )  # (wblk, N, 3C)
+
+    head_outs = []
+    for head in range(h):
+        q = qkv_b3[:, :, head * d : (head + 1) * d]
+        k = qkv_b3[:, :, C + head * d : C + (head + 1) * d]
+        v = qkv_b3[:, :, 2 * C + head * d : 2 * C + (head + 1) * d]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_ref[:, head]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x3.dtype)
+        head_outs.append(
+            jax.lax.dot_general(
+                p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x3.dtype)
+        )
+    attn_b3 = jnp.concatenate(head_outs, axis=-1)  # (wblk, N, C)
+
+    for w in range(wblk):
+        y = xf3[w] + (
+            jnp.dot(attn_b3[w], wproj_ref[...],
+                    preferred_element_type=jnp.float32)
+            + bproj_ref[...][None, :]
+        )                                           # (N, C) f32
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+        z = (
+            (y - mu) * jax.lax.rsqrt(var + eps) * ln1_s_ref[...][None, :]
+            + ln1_b_ref[...][None, :]
+        ).astype(x3.dtype)
+        hdn = jax.nn.gelu(
+            jnp.dot(z, w1_ref[...], preferred_element_type=jnp.float32)
+            + b1_ref[...][None, :]
+        ).astype(x3.dtype)
+        out = y + (
+            jnp.dot(hdn, w2_ref[...], preferred_element_type=jnp.float32)
+            + b2_ref[...][None, :]
+        )
+        o_ref[0, w] = out.astype(x_ref.dtype)
+
+
 def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
                  ln1_s, ln1_b, w1, b1, w2, b2, bias_pad,
-                 *, num_heads, eps, wblk, ib, interpret):
+                 *, num_heads, eps, wblk, ib, pad_gemm, interpret):
     B, nW, N, C = xw.shape             # N = ws*ws, unpadded
     npad = bias_pad.shape[-1]
     hidden = w1.shape[1]
@@ -213,12 +287,24 @@ def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
             + 2 * (4 * C * C + 2 * C * hidden),
             transcendentals=B * nW * num_heads * npad * npad,
         )
+    if pad_gemm:
+        kernel = functools.partial(_kernel, num_heads=num_heads, scale=scale,
+                                   eps=eps, npad=npad)
+        bias = bias_pad
+        nb = npad
+    else:
+        # small-C flavor: unpadded per-window GEMMs, single image per block
+        kernel = functools.partial(_kernel_win, num_heads=num_heads,
+                                   scale=scale, eps=eps)
+        bias = bias_pad[:, :, :N, :N]
+        nb = N
+        ib = 1
+
     # grid order (window-block OUTER, image-block INNER): the bias block
     # depends only on the window index, so it stays VMEM-resident across
     # the whole batch sweep (same reuse argument as the attention kernel).
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, scale=scale, eps=eps,
-                          npad=npad),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((B, nW, N, C), xw.dtype),
         grid=(nW // wblk, B // ib),
         in_specs=[
@@ -236,7 +322,7 @@ def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((hidden, C), lambda w, b: (0, 0), **vm),
             pl.BlockSpec((C,), lambda w, b: (0,), **vm),
             pl.BlockSpec(
-                (wblk, num_heads, npad, npad), lambda w, b: (w, 0, 0, 0), **vm
+                (wblk, num_heads, nb, nb), lambda w, b: (w, 0, 0, 0), **vm
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -244,7 +330,7 @@ def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
         interpret=interpret,
         **kwargs,
     )(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
-      ln1_s, ln1_b, w1, b1, w2, b2, bias_pad)
+      ln1_s, ln1_b, w1, b1, w2, b2, bias)
 
 
 # ---------------------------------------------------------------------------
@@ -304,11 +390,12 @@ def xla_equivalent(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(num_heads, eps, wblk, ib, interpret):
+def _make_fused(num_heads, eps, wblk, ib, pad_gemm, interpret):
     @jax.custom_vjp
     def f(xw, *params):
         return _pallas_impl(xw, *params, num_heads=num_heads, eps=eps,
-                            wblk=wblk, ib=ib, interpret=interpret)
+                            wblk=wblk, ib=ib, pad_gemm=pad_gemm,
+                            interpret=interpret)
 
     def fwd(*args):
         return f(*args), args
@@ -337,14 +424,23 @@ def fused_swin_block_windows(
     *,
     block_windows: Optional[int] = None,
     image_block: Optional[int] = None,
+    pad_gemm: Optional[bool] = None,
     ln_eps: float = 1e-6,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """One whole Swin block on padded windows — differentiable."""
+    """One whole Swin block on (unpadded) windows — differentiable.
+
+    pad_gemm selects the flavor: True = pad windows to a sublane tile in
+    VMEM and run every GEMM as one large-M matmul (wins at wide C);
+    False = per-window GEMMs, no padding (wins at C <= 192 where the
+    block is HBM-bound and pad FLOPs/relayouts dominate). Default: auto
+    by width (threshold MMRP_SWIN_PAD_MINC, measured 256)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, nW, _, _ = xw.shape
+    B, nW, _, C = xw.shape
     npad = bias_pad.shape[-1]
+    if pad_gemm is None:
+        pad_gemm = C >= int(os.environ.get("MMRP_SWIN_PAD_MINC", "256"))
     if block_windows is None:
         block_windows = int(os.environ.get("MMRP_SWBLK", "8"))
     wblk_eff = min(block_windows, nW)
@@ -354,6 +450,6 @@ def fused_swin_block_windows(
         image_block = int(os.environ.get(
             "MMRP_SWIB", str(max(1, 448 // (wblk_eff * npad)))))
     fn = _make_fused(num_heads, float(ln_eps), int(block_windows),
-                     int(image_block), bool(interpret))
+                     int(image_block), bool(pad_gemm), bool(interpret))
     return fn(xw, ln0_scale, ln0_bias, w_qkv, b_qkv, w_proj, b_proj,
               ln1_scale, ln1_bias, w1, b1, w2, b2, bias_pad)

@@ -39,12 +39,13 @@ def _params(rng, C, hidden, h, ws):
     )
 
 
+@pytest.mark.parametrize("pad_gemm", [False, True])
 @pytest.mark.parametrize("shape,h,shift", [
     ((2, 14, 14, 64), 4, 0),     # stage-3-like: 4 windows
     ((2, 14, 14, 64), 4, 3),     # shifted
     ((3, 7, 7, 32), 2, 0),       # stage-4-like: single window, ib>1
 ])
-def test_kernel_matches_xla_equivalent(shape, h, shift):
+def test_kernel_matches_xla_equivalent(shape, h, shift, pad_gemm):
     B, H, W, C = shape
     ws = 7
     p = _params(0, C, 2 * C, h, ws)
@@ -58,7 +59,8 @@ def test_kernel_matches_xla_equivalent(shape, h, shift):
     args = (xw, p["ln0_s"], p["ln0_b"], p["qkv_k"], p["qkv_b"],
             p["proj_k"], p["proj_b"], p["ln1_s"], p["ln1_b"],
             p["w1"], p["b1"], p["w2"], p["b2"], bias)
-    got = fused_swin_block_windows(*args[:13], args[13], h, interpret=True)
+    got = fused_swin_block_windows(*args[:13], args[13], h,
+                                   pad_gemm=pad_gemm, interpret=True)
     want = xla_equivalent(*args, num_heads=h)
     assert got.shape == xw.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
