@@ -293,17 +293,19 @@ class SwinBlock(nn.Module):
         # WindowAttention; LnParams/MlpParams are shared declarations).
         H_, W_ = self.input_resolution
         ws = self.window_size
-        # Two kernel flavors, auto-selected by width inside the wrapper
-        # (measured via tools/ab_bench.py swin + AB_TRACE per-stage
-        # breakdown): padded single-large-M GEMMs at wide C (stage 3: 1.04
-        # vs ~1.24 ms/block; stage 4: 0.75 vs ~1.0), per-window GEMMs with
-        # the MLP folded at C<=192 where the attention-only kernel already
-        # ran at 77% of the HBM roof and padding regressed (4.56 vs ~3.0).
+        # Whole-block kernel only at wide C — back-to-back A/B on the chip
+        # (tools/ab_bench.py swin): all-stage pad flavor 27.9 ms, per-window
+        # +MLP flavor at stages 1/2 31.4 ms, OLD path 27.5-27.7 ms, and
+        # whole-block at C>=256 with the old path at stages 1/2 = 26.5 ms
+        # (best). At C<=192 the attention-only kernel + separate large-M
+        # fused MLP wins; at C>=384 the single large-M padded GEMMs and the
+        # VMEM-resident MLP pay off.
         if (
             self.use_pallas
             and deterministic
             and _pallas_backend()
             and os.environ.get("MMRP_SWIN_WHOLE", "1") == "1"
+            and self.dim >= int(os.environ.get("MMRP_SWIN_WHOLE_MINC", "256"))
             and H_ % ws == 0 and W_ % ws == 0
         ):
             from mmrp_tpu.ops.fused_swin_block import (

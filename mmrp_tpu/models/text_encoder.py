@@ -35,8 +35,9 @@ class TextConfig:
     use_fused_ffn: bool = False  # Pallas FFN kernel (slower at BERT shapes)
     use_fused_attention: bool = True  # Pallas LN+qkv+attn+proj kernel (TPU)
     # serving quantization (ops/quant.py): "int8" = all GEMMs W8A8 (XLA
-    # path); "int8_ffn" = fused bf16 attention kernel + W8A8 FFN (measured
-    # optimum on the target chip — see tools/ab_bench.py)
+    # path); "int8_ffn" = fused bf16 attention kernel + W8A8 FFN;
+    # "int8_kernel" = int8 GEMMs INSIDE the fused attention kernel + W8A8
+    # FFN. Pick by measurement — see tools/ab_bench.py bert variants.
     quant: str = "none"
 
     @staticmethod
@@ -114,7 +115,8 @@ class BertLayer(nn.Module):
         # FLOP-bound -> cheaper MACs win). See tools/ab_bench.py.
         quant_ok = deterministic or cfg.dropout == 0.0
         quant = cfg.quant == "int8" and quant_ok
-        quant_ffn = cfg.quant in ("int8", "int8_ffn") and quant_ok
+        quant_ffn = cfg.quant in ("int8", "int8_ffn", "int8_kernel") and quant_ok
+        quant_kernel = cfg.quant == "int8_kernel" and quant_ok
         use_fused = (
             cfg.use_fused_attention
             and not quant
@@ -132,6 +134,7 @@ class BertLayer(nn.Module):
                 wv.astype(self.dtype), bv.astype(self.dtype),
                 wo.astype(self.dtype), bo.astype(self.dtype),
                 key_mask=key_mask, num_heads=cfg.num_heads, ln_mode="post",
+                quant=quant_kernel,
             )
         else:
             h = cfg.num_heads

@@ -52,9 +52,27 @@ def _ln2(xf, scale, bias, eps):
     return (xf - mu) * jax.lax.rsqrt(var + eps) * scale[None, :] + bias[None, :]
 
 
+def _qdot(x, w_ref):
+    """In-kernel W8A8 GEMM: per-row int8 activations x per-out-channel int8
+    weights -> int32 MXU accum -> f32 dequant. Weight quantization happens
+    in VMEM per program (cheap vs the GEMM; keeps the caller interface
+    identical to the bf16 path)."""
+    wf = w_ref[...].astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-8) / 127.0
+    wq = jnp.round(wf / sw).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.round(xf / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * sw
+
+
 def _kernel(*refs, num_heads: int, scale: float, ln_mode: str,
             include_residual: bool, eps: float, has_kv: bool, has_mask: bool,
-            has_pos: bool, has_alpha: bool, residual_from_raw: bool):
+            has_pos: bool, has_alpha: bool, residual_from_raw: bool,
+            quant: bool = False):
     it = iter(refs)
     x_ref = next(it)
     kv_ref = next(it) if has_kv else None
@@ -96,12 +114,17 @@ def _kernel(*refs, num_heads: int, scale: float, ln_mode: str,
         Nk = Nq
         kin = qin
 
-    q2 = (jnp.dot(qin, wq_ref[...], preferred_element_type=jnp.float32)
-          + bq_ref[...][None, :]).astype(x2.dtype)
-    k2 = (jnp.dot(kin, wk_ref[...], preferred_element_type=jnp.float32)
-          + bk_ref[...][None, :]).astype(x2.dtype)
-    v2 = (jnp.dot(kin, wv_ref[...], preferred_element_type=jnp.float32)
-          + bv_ref[...][None, :]).astype(x2.dtype)
+    if quant:
+        q2 = (_qdot(qin, wq_ref) + bq_ref[...][None, :]).astype(x2.dtype)
+        k2 = (_qdot(kin, wk_ref) + bk_ref[...][None, :]).astype(x2.dtype)
+        v2 = (_qdot(kin, wv_ref) + bv_ref[...][None, :]).astype(x2.dtype)
+    else:
+        q2 = (jnp.dot(qin, wq_ref[...], preferred_element_type=jnp.float32)
+              + bq_ref[...][None, :]).astype(x2.dtype)
+        k2 = (jnp.dot(kin, wk_ref[...], preferred_element_type=jnp.float32)
+              + bk_ref[...][None, :]).astype(x2.dtype)
+        v2 = (jnp.dot(kin, wv_ref[...], preferred_element_type=jnp.float32)
+              + bv_ref[...][None, :]).astype(x2.dtype)
     q3 = q2.reshape(IB, Nq, C)
     k3 = k2.reshape(IB, Nk, C)
     v3 = v2.reshape(IB, Nk, C)
@@ -132,8 +155,11 @@ def _kernel(*refs, num_heads: int, scale: float, ln_mode: str,
     attn3 = jnp.concatenate(head_outs, axis=-1)          # (IB, Nq, C)
     attn2 = attn3.reshape(IB * Nq, C)
 
-    proj = (jnp.dot(attn2, wo_ref[...], preferred_element_type=jnp.float32)
-            + bo_ref[...][None, :])                       # (IB*Nq, C) f32
+    if quant:
+        proj = _qdot(attn2, wo_ref) + bo_ref[...][None, :]
+    else:
+        proj = (jnp.dot(attn2, wo_ref[...], preferred_element_type=jnp.float32)
+                + bo_ref[...][None, :])                   # (IB*Nq, C) f32
 
     if has_alpha:
         proj = proj * alpha_ref[0, 0]
@@ -221,7 +247,7 @@ def xla_equivalent(
 def _pallas_impl(x, kv, key_mask, pos, alpha,
                  ln_s, ln_b, wq, bq, wk, bk, wv, bv, wo, bo,
                  *, num_heads, ln_mode, include_residual, residual_from_raw,
-                 eps, img_block, interpret):
+                 eps, img_block, interpret, quant=False):
     B, Nq, C = x.shape
     d = C // num_heads
     scale = d**-0.5
@@ -275,7 +301,8 @@ def _pallas_impl(x, kv, key_mask, pos, alpha,
             _kernel, num_heads=num_heads, scale=scale, ln_mode=ln_mode,
             include_residual=include_residual, eps=eps,
             has_kv=has_kv, has_mask=has_mask, has_pos=has_pos,
-            has_alpha=has_alpha, residual_from_raw=residual_from_raw),
+            has_alpha=has_alpha, residual_from_raw=residual_from_raw,
+            quant=quant),
         out_shape=jax.ShapeDtypeStruct((B, Nq, C), x.dtype),
         grid=(B // ib,),
         in_specs=in_specs,
@@ -288,7 +315,7 @@ def _pallas_impl(x, kv, key_mask, pos, alpha,
 @functools.lru_cache(maxsize=None)
 def _make_fused(num_heads, ln_mode, include_residual, residual_from_raw,
                 eps, img_block, interpret, has_kv, has_mask, has_pos,
-                has_alpha):
+                has_alpha, quant=False):
     """custom_vjp wrapper: Pallas forward, XLA-recompute backward (remat)."""
 
     @jax.custom_vjp
@@ -299,7 +326,7 @@ def _make_fused(num_heads, ln_mode, include_residual, residual_from_raw,
             *params, num_heads=num_heads, ln_mode=ln_mode,
             include_residual=include_residual,
             residual_from_raw=residual_from_raw, eps=eps,
-            img_block=img_block, interpret=interpret)
+            img_block=img_block, interpret=interpret, quant=quant)
 
     def fwd(*args):
         return f(*args), args
@@ -342,8 +369,14 @@ def fused_attention(
     eps: float = 1e-6,
     img_block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    quant: bool = False,               # W8A8 int8 projection GEMMs in-kernel
 ) -> jnp.ndarray:
-    """One fused attention block — differentiable (custom VJP, XLA remat)."""
+    """One fused attention block — differentiable (custom VJP, XLA remat).
+
+    quant=True runs the four projection GEMMs as W8A8 int8 (per-row
+    activations, per-channel weights quantized in VMEM, int32 MXU accum) —
+    the serving mode for FLOP-bound shapes; backward still recomputes
+    through the full-precision XLA body (training unaffected)."""
     assert ln_mode in ("pre", "post", "none")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -356,7 +389,7 @@ def fused_attention(
     fn = _make_fused(num_heads, ln_mode, bool(include_residual),
                      bool(residual_from_raw), float(eps),
                      int(img_block), bool(interpret), has_kv, has_mask,
-                     has_pos, has_alpha)
+                     has_pos, has_alpha, bool(quant))
     # placeholders keep the custom_vjp arity static across variants
     kv_arg = kv if has_kv else jnp.zeros((1,), x.dtype)
     mask_arg = key_mask if has_mask else jnp.zeros((1,), jnp.float32)

@@ -431,10 +431,12 @@ def fused_swin_block_windows(
     """One whole Swin block on (unpadded) windows — differentiable.
 
     pad_gemm selects the flavor: True = pad windows to a sublane tile in
-    VMEM and run every GEMM as one large-M matmul (wins at wide C);
-    False = per-window GEMMs, no padding (wins at C <= 192 where the
-    block is HBM-bound and pad FLOPs/relayouts dominate). Default: auto
-    by width (threshold MMRP_SWIN_PAD_MINC, measured 256)."""
+    VMEM and run every GEMM as one large-M matmul; False = per-window
+    GEMMs, no padding. Measured end-to-end (ab_bench swin, back-to-back):
+    the pad flavor wins at C>=256; at C<=192 BOTH flavors lose to the
+    attention-only kernel + separate large-M fused MLP (the per-window
+    MLP GEMM chain is latency-bound), so SwinBlock only routes wide
+    stages here. Default: auto by width (MMRP_SWIN_PAD_MINC=256)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, nW, _, C = xw.shape

@@ -48,6 +48,39 @@ def test_quant_dot_batched_rank3():
     assert out.shape == (2, 16, 32) and out.dtype == jnp.bfloat16
 
 
+def test_int8_kernel_attention_close_to_float():
+    """In-kernel W8A8 projections (fused_attention quant=True) vs the
+    full-precision XLA oracle."""
+    import jax
+
+    from mmrp_tpu.ops.fused_attention import fused_attention, xla_equivalent
+
+    rng = np.random.default_rng(7)
+    B, L, C, h = 2, 16, 32, 4
+
+    def t(*s):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+
+    x = t(B, L, C)
+    params = dict(ln_scale=jnp.ones((C,)), ln_bias=t(C),
+                  wq=t(C, C), bq=t(C), wk=t(C, C), bk=t(C),
+                  wv=t(C, C), bv=t(C), wo=t(C, C), bo=t(C))
+    mask = jnp.zeros((B, L), jnp.float32)
+    got = fused_attention(x, params["ln_scale"], params["ln_bias"],
+                          params["wq"], params["bq"], params["wk"],
+                          params["bk"], params["wv"], params["bv"],
+                          params["wo"], params["bo"], key_mask=mask,
+                          num_heads=h, ln_mode="post", quant=True,
+                          interpret=True)
+    want = xla_equivalent(x, None, mask, params["ln_scale"],
+                          params["ln_bias"], params["wq"], params["bq"],
+                          params["wk"], params["bk"], params["wv"],
+                          params["bv"], params["wo"], params["bo"],
+                          num_heads=h, ln_mode="post")
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 0.05, err
+
+
 def test_int8_ffn_mode_close_to_float():
     """quant='int8_ffn' (fused-attention + W8A8 FFN, the measured serving
     optimum) stays close to the float encoder."""

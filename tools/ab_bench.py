@@ -97,8 +97,9 @@ def main():
         cfg = TextConfig.clinicalbert(
             use_fused_ffn=("ffn" in variant),
             use_fused_attention=("noattn" not in variant),
-            quant=("int8_ffn" if "int8ffn" in variant
-                   else ("int8" if "int8" in variant else "none")),
+            quant=("int8_kernel" if "int8k" in variant
+                   else "int8_ffn" if "int8ffn" in variant
+                   else "int8" if "int8" in variant else "none"),
         )
         model = TextEncoder(cfg, dtype=jnp.bfloat16)
         ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, L)).astype(np.int32))

@@ -39,6 +39,7 @@ def main() -> None:
         "batch": batch,
         "iters": iters,
         "attention_path": "pallas" if use_pallas else "xla",
+        "quant": os.environ.get("BENCH_QUANT", "int8"),
         "pairs_per_sec": throughput,
         "implied_peak_frac": frac,
         "backend": jax.default_backend(),
