@@ -45,15 +45,16 @@ def _build_model(use_pallas: bool, text_len: int, swin_name: str = None):
     swin_name = swin_name or os.environ.get("BENCH_SWIN", "tiny")
     # BENCH_QUANT=int8 selects the W8A8 serving path (ops/quant.py; fidelity
     # validated in tests/test_quant_model.py — cosine>0.995, stable top-k).
-    # Measured mix (tools/ab_bench.py): the FLOP-bound fusion stack wins with
-    # int8 (15.8->13.5 ms); BERT is faster on its fused bf16 Pallas kernel
-    # (11.8 ms) than on int8 XLA (12.9 ms), so "int8" quantizes the fusion
-    # stack only. "int8_all" also quantizes the text encoder.
+    # Measured mix (tools/ab_bench.py, back-to-back): fusion stack all-int8
+    # (15.8->13.5 ms, at the chip's int8 FLOP floor); BERT int8 INSIDE the
+    # fused attention kernel + int8 FFN (12.0 -> 9.96 ms vs bf16 fused);
+    # Swin stays bf16 (bandwidth-bound). "int8_all" = plain XLA W8A8
+    # everywhere (no fused kernels) for comparison.
     quant = os.environ.get("BENCH_QUANT", "int8")
     cfg = MultiModalConfig(
         swin=SwinConfig.from_name(f"swin_{swin_name}", use_pallas=use_pallas),
         text=TextConfig.clinicalbert(
-            quant={"int8": "int8_ffn", "int8_all": "int8"}.get(quant, "none")),
+            quant={"int8": "int8_kernel", "int8_all": "int8"}.get(quant, "none")),
         joint_dim=1024,
         num_fusion_layers=5,
         num_heads=8,

@@ -8,7 +8,11 @@ implements the standard dynamic W8A8 scheme:
 
 - weights: symmetric per-output-channel int8 (`quantize_weight`), computed
   from the bf16/f32 checkpoint at trace time — XLA's loop-invariant code
-  motion hoists it out of scan/serving loops, so steady-state cost is zero;
+  motion hoists it out of scan/embed/eval loops, so steady-state cost is
+  zero there. Single-dispatch serving (MMRPredictor.predict with params as
+  jit arguments) re-quantizes per call: one VPU pass over the weight bytes,
+  ~1-2 ms for the full model — negligible against per-request latency but
+  worth knowing when profiling;
 - activations: symmetric per-row (per-token) int8, computed on the fly;
 - GEMM: int8 x int8 -> int32 on the MXU, dequantized by the rank-1 outer
   product of the two scale vectors.

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mmrp_tpu.ops.quant import quant_dot, quantize_acts, quantize_weight
 
@@ -81,12 +82,17 @@ def test_int8_kernel_attention_close_to_float():
     assert err < 0.05, err
 
 
-def test_int8_ffn_mode_close_to_float():
-    """quant='int8_ffn' (fused-attention + W8A8 FFN, the measured serving
-    optimum) stays close to the float encoder."""
+@pytest.mark.parametrize("mode", ["int8_ffn", "int8_kernel"])
+def test_int8_text_modes_close_to_float(mode, monkeypatch):
+    """The hybrid text-quant modes (fused attention [int8-in-kernel for
+    'int8_kernel'] + W8A8 FFN) stay close to the float encoder."""
     import jax
 
     from mmrp_tpu.models.text_encoder import TextConfig, TextEncoder
+
+    if mode == "int8_kernel":
+        # exercise the real kernel code path (interpret mode) on CPU
+        monkeypatch.setenv("MMRP_FORCE_PALLAS", "1")
 
     rng = np.random.default_rng(4)
     ids = jnp.asarray(rng.integers(0, 100, (2, 16)).astype(np.int32))
@@ -96,7 +102,7 @@ def test_int8_ffn_mode_close_to_float():
     m0 = TextEncoder(TextConfig.small(**kw))
     p = m0.init(jax.random.PRNGKey(0), ids, mask)
     o0 = m0.apply(p, ids, mask)
-    m1 = TextEncoder(TextConfig.small(**kw, quant="int8_ffn"))
+    m1 = TextEncoder(TextConfig.small(**kw, quant=mode))
     o1 = m1.apply(p, ids, mask)
     d = np.abs(np.asarray(o0["cls"], np.float32)
                - np.asarray(o1["cls"], np.float32)).max()
