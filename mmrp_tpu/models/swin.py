@@ -67,6 +67,9 @@ class SwinConfig:
     # per-stage override of use_pallas (None = use_pallas everywhere): lets
     # late stages (tiny nW, wide C) take the XLA path where measured faster
     pallas_stages: Optional[Tuple[bool, ...]] = None
+    # "int8": W8A8 GEMMs inside the whole-block kernel at wide-C stages
+    # (serving path only; ops/quant.py scheme, ops/fused_swin_block.py)
+    quant: str = "none"
     remat: bool = False  # jax.checkpoint per block: FLOPs for activation memory
 
     @property
@@ -280,6 +283,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     dropout: float = 0.0
     use_pallas: bool = True
+    quant: str = "none"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -333,6 +337,7 @@ class SwinBlock(nn.Module):
                 w1.astype(self.dtype), b1.astype(self.dtype),
                 w2.astype(self.dtype), b2.astype(self.dtype),
                 bias_pad, self.num_heads,
+                quant=(self.quant == "int8"),
             )
             out = window_reverse(ow, ws, H_, W_)
             if shift:
@@ -445,6 +450,7 @@ class SwinEncoder(nn.Module):
                     drop_path=float(dpr[block_idx]),
                     dropout=cfg.dropout,
                     use_pallas=stage_pallas,
+                    quant=cfg.quant,
                     dtype=self.dtype,
                     name=f"stage{stage}_block{blk}",
                 )(x, deterministic)

@@ -114,7 +114,17 @@ def _ln_rows(xf, scale_ref, bias_ref, eps):
 def _kernel(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             bias_ref, o_ref, *, num_heads: int, scale: float, eps: float,
-            npad: int):
+            npad: int, quant: bool = False):
+    if quant:
+        from mmrp_tpu.ops.fused_attention import _qdot
+
+        def gemm(x, w_ref, b_ref):
+            return _qdot(x, w_ref) + b_ref[...][None, :]
+    else:
+        def gemm(x, w_ref, b_ref):
+            return jnp.dot(x, w_ref[...],
+                           preferred_element_type=jnp.float32) \
+                + b_ref[...][None, :]
     ib, wblk, N, C = x_ref.shape        # N = ws*ws (unpadded)
     h = num_heads
     d = C // h
@@ -132,10 +142,8 @@ def _kernel(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
     # --- attention half ---
     qin = _ln_rows(xf2, ln0_s_ref, ln0_b_ref, eps).astype(x2.dtype)
-    qkv2 = (
-        jnp.dot(qin, wqkv_ref[...], preferred_element_type=jnp.float32)
-        + bqkv_ref[...][None, :]
-    ).astype(x2.dtype)                   # (rows, 3C) — ONE GEMM, all windows
+    qkv2 = gemm(qin, wqkv_ref, bqkv_ref).astype(x2.dtype)
+    # (rows, 3C) — ONE GEMM, all windows
     qkv3 = qkv2.reshape(nb, npad, 3 * C)
 
     head_outs = []
@@ -166,21 +174,12 @@ def _kernel(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     attn3 = jnp.concatenate(head_outs, axis=-1)          # (nb, npad, C)
     attn2 = attn3.reshape(rows, C)
 
-    y2 = xf2 + (
-        jnp.dot(attn2, wproj_ref[...], preferred_element_type=jnp.float32)
-        + bproj_ref[...][None, :]
-    )                                                    # (rows, C) f32
+    y2 = xf2 + gemm(attn2, wproj_ref, bproj_ref)         # (rows, C) f32
 
     # --- MLP half ---
     z = _ln_rows(y2, ln1_s_ref, ln1_b_ref, eps).astype(x2.dtype)
-    hdn = jax.nn.gelu(
-        jnp.dot(z, w1_ref[...], preferred_element_type=jnp.float32)
-        + b1_ref[...][None, :]
-    ).astype(x2.dtype)
-    out2 = y2 + (
-        jnp.dot(hdn, w2_ref[...], preferred_element_type=jnp.float32)
-        + b2_ref[...][None, :]
-    )
+    hdn = jax.nn.gelu(gemm(z, w1_ref, b1_ref)).astype(x2.dtype)
+    out2 = y2 + gemm(hdn, w2_ref, b2_ref)
     out4 = out2.astype(x_ref.dtype).reshape(ib, wblk, npad, C)
     o_ref[...] = out4[:, :, :N]         # pad rows never reach HBM
 
@@ -261,7 +260,7 @@ def _kernel_win(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
                  ln1_s, ln1_b, w1, b1, w2, b2, bias_pad,
-                 *, num_heads, eps, wblk, ib, pad_gemm, interpret):
+                 *, num_heads, eps, wblk, ib, pad_gemm, quant, interpret):
     B, nW, N, C = xw.shape             # N = ws*ws, unpadded
     npad = bias_pad.shape[-1]
     hidden = w1.shape[1]
@@ -289,7 +288,7 @@ def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
         )
     if pad_gemm:
         kernel = functools.partial(_kernel, num_heads=num_heads, scale=scale,
-                                   eps=eps, npad=npad)
+                                   eps=eps, npad=npad, quant=quant)
         bias = bias_pad
         nb = npad
     else:
@@ -390,11 +389,11 @@ def xla_equivalent(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(num_heads, eps, wblk, ib, pad_gemm, interpret):
+def _make_fused(num_heads, eps, wblk, ib, pad_gemm, quant, interpret):
     @jax.custom_vjp
     def f(xw, *params):
         return _pallas_impl(xw, *params, num_heads=num_heads, eps=eps,
-                            wblk=wblk, ib=ib, pad_gemm=pad_gemm,
+                            wblk=wblk, ib=ib, pad_gemm=pad_gemm, quant=quant,
                             interpret=interpret)
 
     def fwd(*args):
@@ -425,6 +424,7 @@ def fused_swin_block_windows(
     block_windows: Optional[int] = None,
     image_block: Optional[int] = None,
     pad_gemm: Optional[bool] = None,
+    quant: bool = False,               # W8A8 int8 GEMMs (pad flavor only)
     ln_eps: float = 1e-6,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -452,6 +452,7 @@ def fused_swin_block_windows(
         image_block = int(os.environ.get(
             "MMRP_SWIB", str(max(1, 448 // (wblk_eff * npad)))))
     fn = _make_fused(num_heads, float(ln_eps), int(block_windows),
-                     int(image_block), bool(pad_gemm), bool(interpret))
+                     int(image_block), bool(pad_gemm),
+                     bool(quant and pad_gemm), bool(interpret))
     return fn(xw, ln0_scale, ln0_bias, w_qkv, b_qkv, w_proj, b_proj,
               ln1_scale, ln1_bias, w1, b1, w2, b2, bias_pad)

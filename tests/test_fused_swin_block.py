@@ -94,6 +94,25 @@ def test_whole_block_path_matches_unfused_swinblock(shift):
                                rtol=5e-4, atol=5e-4)
 
 
+def test_quantized_pad_flavor_close_to_float():
+    """quant=True (W8A8 GEMMs in the pad-flavor kernel) stays close to the
+    full-precision oracle."""
+    B, H, W, C, h, ws = 2, 14, 14, 64, 4, 7
+    p = _params(9, C, 2 * C, h, ws)
+    x = jnp.asarray(
+        np.random.default_rng(10).standard_normal((B, H, W, C)).astype(np.float32))
+    xw = window_partition(x, ws)
+    bias = build_bias_padded(p["rel"], ws, H, W, 0)
+    args = (xw, p["ln0_s"], p["ln0_b"], p["qkv_k"], p["qkv_b"],
+            p["proj_k"], p["proj_b"], p["ln1_s"], p["ln1_b"],
+            p["w1"], p["b1"], p["w2"], p["b2"], bias)
+    got = fused_swin_block_windows(*args[:13], bias, h, pad_gemm=True,
+                                   quant=True, interpret=True)
+    want = xla_equivalent(*args, num_heads=h)
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 0.1, err
+
+
 def test_single_window_reverse_roundtrip():
     B, H, W, C, h, ws = 1, 14, 14, 32, 4, 7
     p = _params(3, C, 2 * C, h, ws)

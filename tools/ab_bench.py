@@ -175,13 +175,15 @@ def main():
     elif variant.startswith("swin"):
         from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
 
-        # swin | swin_xla | swin_stages_TTFF (per-stage pallas gating)
+        # swin | swin_xla | swin_stages_TTFF | swin_int8k (quantized
+        # whole-block GEMMs at wide-C stages)
         use_pallas = variant != "swin_xla"
         stages = None
         if "stages_" in variant:
             stages = tuple(c == "T" for c in variant.split("stages_")[1])
         model = SwinEncoder(
-            SwinConfig.tiny(use_pallas=use_pallas, pallas_stages=stages),
+            SwinConfig.tiny(use_pallas=use_pallas, pallas_stages=stages,
+                            quant="int8" if "int8" in variant else "none"),
             dtype=jnp.bfloat16)
         img = jnp.asarray(rng.random((B, 224, 224, 3), dtype=np.float32))
         params = model.init(jax.random.PRNGKey(0), img[:1])
