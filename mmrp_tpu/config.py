@@ -118,6 +118,11 @@ class Config:
     gallery_shard_axis: str = "dp"
     use_pallas_attention: bool = True
     remat_backbone: bool = False
+    # serving precision: "none" = bf16; "int8" = the measured-optimum W8A8
+    # mix (fusion stack + BERT in-kernel/FFN int8, Swin bf16 — ops/quant.py,
+    # fidelity gates in tests/test_quant_model.py). Inference-only: training
+    # always runs full precision.
+    serve_quant: str = "none"
 
     # auto-generated
     run_name: str = field(init=False, default="")

@@ -74,14 +74,17 @@ class MultiModalConfig:
             vision_backbone = "medclip" if flagship else "vit"
         else:
             vision_backbone = "swin"
+        tq = "int8_kernel" if getattr(cfg, "serve_quant", "none") == "int8" \
+            else "none"
         if flagship:
-            text = TextConfig.clinicalbert()
+            text = TextConfig.clinicalbert(quant=tq)
         elif "micro" in cfg.image_backbone:
             text = TextConfig.small(
-                hidden_dim=32, num_layers=1, num_heads=2, intermediate_dim=64
+                hidden_dim=32, num_layers=1, num_heads=2, intermediate_dim=64,
+                quant=tq,
             )
         else:
-            text = TextConfig.small()
+            text = TextConfig.small(quant=tq)
         return MultiModalConfig(
             swin=swin,
             text=text,
@@ -93,6 +96,8 @@ class MultiModalConfig:
             use_shared_ffn=cfg.use_shared_ffn,
             use_cls_only=cfg.use_cls_only,
             max_text_len=cfg.text_dim,
+            quant="int8" if getattr(cfg, "serve_quant", "none") == "int8"
+            else "none",
         )
 
 
