@@ -6,12 +6,21 @@ dispatch dedup breaks multi-model timing — see CLAUDE.md). Usage:
     python tools/ab_bench.py <variant> [batch]
 
 Variants:
-    bert            12-layer BERT-base-dims text encoder, L64
+    bert            12-layer BERT-base-dims text encoder, L64 (fused bf16)
     bert_ffn        ... with use_fused_ffn=True (Pallas FFN kernel)
+    bert_int8       ... every GEMM W8A8 on the XLA path
+    bert_int8ffn    ... fused bf16 attention + W8A8 FFN
+    bert_int8k      ... W8A8 INSIDE the fused attention kernel + W8A8 FFN
     fusion          the full 5-layer fusion stack at joint_dim 1024
+    fusion_int8     ... with W8A8 GEMMs (the serving default)
     swin            Swin-T encoder (current default path)
     swin_xla        Swin-T with use_pallas=False
+    swin_int8k      Swin-T with W8A8 whole-block GEMMs (measured worse)
+    swin_stages_TTFF  per-stage pallas gating
     proj            projection layers + classifier head only
+
+Env: AB_TRACE=1 dumps a per-op trace aggregation to stderr; MMRP_* kernel
+knobs apply (MMRP_ATTN_IB, MMRP_SWBLK, MMRP_SWIB, MMRP_SWIN_WHOLE[_MINC]).
 
 Prints one JSON line {variant, batch, ms, unit}: ms is per model forward at
 the given batch. Chained lax.scan with scalar fetch, 20 iters.
