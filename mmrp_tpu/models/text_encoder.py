@@ -113,7 +113,11 @@ class BertLayer(nn.Module):
         # "int8_ffn" = fused bf16 attention kernel + W8A8 FFN — the measured
         # optimum (attention is BW-bound -> byte elimination wins; the FFN is
         # FLOP-bound -> cheaper MACs win). See tools/ab_bench.py.
-        quant_ok = deterministic or cfg.dropout == 0.0
+        # Quantization only when deterministic: jnp.round/int8 casts in
+        # quant_dot have zero gradient, so the XLA int8 path would silently
+        # break training even at dropout=0 (the dropout==0 escape is only
+        # valid for the fused kernels, whose custom VJPs are full precision).
+        quant_ok = deterministic
         quant = cfg.quant == "int8" and quant_ok
         quant_ffn = cfg.quant in ("int8", "int8_ffn", "int8_kernel") and quant_ok
         quant_kernel = cfg.quant == "int8_kernel" and quant_ok
@@ -121,6 +125,9 @@ class BertLayer(nn.Module):
             cfg.use_fused_attention
             and not quant
             and (deterministic or cfg.dropout == 0.0)
+            # fused_attention requires Nq % 8 == 0 (sublane-aligned in-kernel
+            # reshape); fall back to the XLA path for odd sequence lengths
+            and x.shape[1] % 8 == 0
             and (jax.default_backend() == "tpu"
                  or __import__("os").environ.get("MMRP_FORCE_PALLAS") == "1")
         )

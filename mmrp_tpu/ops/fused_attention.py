@@ -378,6 +378,13 @@ def fused_attention(
     the serving mode for FLOP-bound shapes; backward still recomputes
     through the full-precision XLA body (training unaffected)."""
     assert ln_mode in ("pre", "post", "none")
+    # pre-LN with a cross kv would normalize kv with the QUERY-side
+    # ln_scale/ln_bias (silently wrong math for a caller expecting a
+    # separate kv norm) — no current caller needs pre+kv, so reject it
+    assert not (ln_mode == "pre" and kv is not None), (
+        "fused_attention: ln_mode='pre' with a cross kv input would apply "
+        "the query-side LN params to kv; normalize kv outside the kernel "
+        "or use ln_mode='none'")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if img_block is None:

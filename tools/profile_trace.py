@@ -39,16 +39,21 @@ def capture(trace_dir: str):
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     swin_name = os.environ.get("BENCH_SWIN", "tiny")
 
+    # BENCH_QUANT mirrors bench.py's serving-precision selection so the trace
+    # attributes the same program the flagship bench times.
+    quant = os.environ.get("BENCH_QUANT", "none")
     cfg = MultiModalConfig(
         swin=(SwinConfig.base if swin_name == "base" else SwinConfig.tiny)(
             use_pallas=use_pallas
         ),
-        text=TextConfig.clinicalbert(),
+        text=TextConfig.clinicalbert(
+            quant={"int8": "int8_kernel", "int8_all": "int8"}.get(quant, "none")),
         joint_dim=1024,
         num_fusion_layers=5,
         num_heads=8,
         num_classes=43,
         max_text_len=text_len,
+        quant="int8" if quant.startswith("int8") else "none",
     )
     model = MultiModalRetrievalModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
