@@ -55,6 +55,22 @@ def cmd_data(args) -> int:
     eda_after_split(splits, by_id, LABEL_COLS, str(out / "eda_after_split.json"))
     checks = phrase_match_check(records, PhraseLabeler(), n_samples=10)
     (out / "phrase_check.json").write_text(json.dumps(checks, indent=1))
+
+    # visual diagnostics (dataEDAnLabeledCheck.py, data_phrase_check.py:61-110)
+    import numpy as np
+
+    from mmrp_tpu.eval.eda import (
+        dicom_debug_plots, label_distribution_plot, mesh_label_stats,
+    )
+
+    eda_dir = out / "eda"
+    mesh_label_stats(args.xml_dir, out_dir=str(eda_dir))
+    if records:
+        dicom_debug_plots(records[0]["dicom_path"], str(eda_dir))
+        label_distribution_plot(
+            np.stack([r["labels"] for r in records]), LABEL_COLS,
+            str(eda_dir / "label_distribution.png"),
+        )
     return 0
 
 
@@ -63,6 +79,8 @@ def cmd_train(args) -> int:
     from mmrp_tpu.train.runner import run_training_pipeline
 
     cfg = Config.load(args.config) if args.config else Config()
+    if args.resume:
+        cfg = cfg.replace(resume=True)
     run_training_pipeline(cfg, data_dir=args.data, out_dir=args.out)
     return 0
 
@@ -147,6 +165,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train", help="staged training pipeline")
     p.add_argument("--data", required=True, help="data pipeline output dir")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the joint stage from its last full-state ckpt")
     _add_common(p)
     p.set_defaults(fn=cmd_train)
 

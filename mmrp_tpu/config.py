@@ -95,6 +95,25 @@ class Config:
     la_tpl_weight: float = 0.5
     la_bce_weight: float = 0.1
 
+    # ---- staged pipeline (reference train.py:304-360) ----------------------
+    run_swin_finetune: bool = True      # stage 1: label-aware Swin finetune
+    swin_finetune_epochs: int = 12
+    swin_finetune_lr: float = 1e-4
+    run_label_attention: bool = True    # LabelAttention pooling head stage
+
+    # ---- pretrained bootstrap (reference fusion.py:92-99, 313-325) ---------
+    # Empty string = train from scratch with the corpus WordPiece vocab.
+    # pretrained_vocab: a BERT vocab.txt — REQUIRED when pretrained_bert is
+    # set (token ids must match the ported embedding table).
+    # pretrained_bert / pretrained_swin: an HF model directory/name
+    # (transformers AutoModel) or a torch state-dict file (.pt/.bin/.pth).
+    pretrained_vocab: str = ""
+    pretrained_bert: str = ""
+    pretrained_swin: str = ""
+
+    # ---- resume ------------------------------------------------------------
+    resume: bool = False                # resume joint stage from last full-state ckpt
+
     # ---- sampling ------------------------------------------------------------
     pos_weight_clamp_max: float = 1.0
 
@@ -173,6 +192,11 @@ class Config:
             raise ValueError(f"invalid dtype_policy: {self.dtype_policy!r}")
         if self.retrieval_backend not in ("exact", "dls"):
             raise ValueError(f"invalid retrieval_backend: {self.retrieval_backend!r}")
+        if self.pretrained_bert and not self.pretrained_vocab:
+            raise ValueError(
+                "pretrained_bert requires pretrained_vocab: the corpus-trained "
+                "WordPiece ids are incompatible with a ported embedding table"
+            )
 
     # -- KG kwargs ------------------------------------------------------------
     @property

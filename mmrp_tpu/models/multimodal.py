@@ -54,9 +54,12 @@ class MultiModalConfig:
     quant: str = "none"  # "int8": W8A8 GEMMs in the fusion stack (serving)
 
     @staticmethod
-    def from_config(cfg: Config, num_classes: int = 43, flagship: bool = False) -> "MultiModalConfig":
+    def from_config(cfg: Config, num_classes: int = 43, flagship: bool = False,
+                    text_override: Optional[TextConfig] = None) -> "MultiModalConfig":
         """Build from the framework Config. ``flagship=True`` selects the
-        full-size backbones (Swin-B + ClinicalBERT dims)."""
+        full-size backbones (Swin-B + ClinicalBERT dims). ``text_override``
+        pins the text tower's dims (pretrained-bootstrap path: the tower
+        must be built at the ported checkpoint's shape, models/port.py)."""
         swin = SwinConfig.from_name(
             cfg.image_backbone if cfg.image_backbone.startswith("swin")
             # MedCLIP's vision tower is Swin-Tiny (models/medclip.py)
@@ -70,13 +73,19 @@ class MultiModalConfig:
             vision_backbone = "swin"
         elif backbone.startswith("resnet"):
             vision_backbone = "resnet50"
+        elif backbone.startswith("efficientnet"):
+            vision_backbone = "efficientnet"
         elif backbone in ("medclip", "vit"):
             vision_backbone = "medclip" if flagship else "vit"
         else:
             vision_backbone = "swin"
         tq = "int8_kernel" if getattr(cfg, "serve_quant", "none") == "int8" \
             else "none"
-        if flagship:
+        if text_override is not None:
+            import dataclasses
+
+            text = dataclasses.replace(text_override, quant=tq)
+        elif flagship:
             text = TextConfig.clinicalbert(quant=tq)
         elif "micro" in cfg.image_backbone:
             text = TextConfig.small(
@@ -116,6 +125,15 @@ class Backbones(nn.Module):
 
             vis = ResNetEncoder(ResNetConfig.resnet50(), dtype=self.dtype,
                                 name="resnet")(image, deterministic)
+        elif cfg.vision_backbone == "efficientnet":
+            # reference's third torchvision variant (fusion.py:118-119)
+            from mmrp_tpu.models.efficientnet import (
+                EfficientNetConfig, EfficientNetEncoder,
+            )
+
+            vis = EfficientNetEncoder(
+                EfficientNetConfig.b0(), dtype=self.dtype, name="efficientnet"
+            )(image, deterministic)
         elif cfg.vision_backbone == "medclip":
             # MedCLIP's vision tower is Swin (tiny at parity scale, set by
             # MultiModalConfig.from_config) + 512-d projection
@@ -175,7 +193,9 @@ class FusionLayer(nn.Module):
 
         cfg = self.config
         D = cfg.joint_dim
-        quant = cfg.quant == "int8" and (deterministic or cfg.dropout == 0.0)
+        # deterministic only: XLA int8 GEMMs have zero-gradient rounding, so
+        # quantized training would silently break (see text_encoder.BertLayer)
+        quant = cfg.quant == "int8" and deterministic
         Np = self.num_patches_real or img_patches.shape[1]
         Lr = Np + 2                      # real sequence length (cls+Np+txt)
         use_fused = (

@@ -223,6 +223,86 @@ def convert_medclip_vit(
     }
 
 
+# ---------------------------------------------------------------------------
+# Bootstrap helpers: load a checkpoint from disk + infer module configs
+# (the pipeline wiring for reference fusion.py:92-99, 313-325 — pretrained
+# backbones feeding the joint model)
+# ---------------------------------------------------------------------------
+
+
+def load_pretrained_state(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch state dict from an HF model directory/name or a raw
+    state-dict file (.pt/.bin/.pth/.safetensors) -> numpy dict."""
+    import os
+
+    if os.path.splitext(str(path))[1] in (".pt", ".bin", ".pth"):
+        import torch
+
+        return _as_np(torch.load(path, map_location="cpu", weights_only=True))
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(str(path))
+    from transformers import AutoModel
+
+    return _as_np(AutoModel.from_pretrained(str(path)).state_dict())
+
+
+def text_config_from_state(sd: Mapping, num_heads: int = 0, **kw):
+    """Infer a TextConfig matching an HF BertModel state dict (so the joint
+    model's text tower gets built at the ported checkpoint's dims).
+
+    num_heads is not recoverable from tensor shapes; default hidden//64
+    (every BERT-family release uses 64-dim heads)."""
+    from mmrp_tpu.models.text_encoder import TextConfig
+
+    sd = _as_np(sd)
+    pfx = "bert." if any(k.startswith("bert.") for k in sd) else ""
+    emb = sd[f"{pfx}embeddings.word_embeddings.weight"]
+    layers = {
+        int(k.split(".")[2 if not pfx else 3])
+        for k in sd
+        if k.startswith(f"{pfx}encoder.layer.")
+    }
+    n_layers = max(layers) + 1
+    hidden = emb.shape[1]
+    inter = sd[f"{pfx}encoder.layer.0.intermediate.dense.weight"].shape[0]
+    return TextConfig(
+        vocab_size=emb.shape[0],
+        hidden_dim=hidden,
+        num_layers=n_layers,
+        num_heads=num_heads or max(1, hidden // 64),
+        intermediate_dim=inter,
+        max_positions=sd[f"{pfx}embeddings.position_embeddings.weight"].shape[0],
+        **kw,
+    )
+
+
+def swin_layout_from_state(sd: Mapping):
+    """Infer (depths, num_heads) from an HF SwinModel state dict: depths by
+    counting blocks per encoder stage, heads from each stage's relative-
+    position-bias table (num_heads columns)."""
+    sd = _as_np(sd)
+    pfx = "swin." if any(k.startswith("swin.") for k in sd) else ""
+    stage_blocks: Dict[int, int] = {}
+    heads: Dict[int, int] = {}
+    for k, v in sd.items():
+        if not k.startswith(f"{pfx}encoder.layers."):
+            continue
+        rest = k[len(f"{pfx}encoder.layers."):]
+        parts = rest.split(".")
+        s = int(parts[0])
+        if parts[1] == "blocks":
+            b = int(parts[2])
+            stage_blocks[s] = max(stage_blocks.get(s, 0), b + 1)
+            if rest.endswith("relative_position_bias_table"):
+                heads[s] = v.shape[1]
+    n_stages = max(stage_blocks) + 1
+    depths = tuple(stage_blocks[s] for s in range(n_stages))
+    num_heads = tuple(heads[s] for s in range(n_stages))
+    return depths, num_heads
+
+
 def load_hf_bert_into(text_params: Dict, hf_state: Mapping, num_layers: int,
                       num_heads: int) -> Dict:
     """Replace a TextEncoder param subtree with converted HF weights,

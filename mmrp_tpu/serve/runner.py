@@ -92,7 +92,13 @@ def build_demo_context(run_dir: str) -> Dict[str, Any]:
             label_pooler=label_pooler, **kg_kwargs,
         )
 
-    predictor = MMRPredictor(model, params, LABEL_COLS, retriever, reranker)
+    # per-class calibrated thresholds from the joint stage (reference
+    # train.py:620-704 — predict-time thresholds, not a flat 0.5)
+    th_path = run / "joint" / "thresholds.npy"
+    threshold = np.load(th_path) if th_path.exists() else 0.5
+
+    predictor = MMRPredictor(model, params, LABEL_COLS, retriever, reranker,
+                             threshold=threshold)
 
     # record map for per-retrieved-item detail (reference app.py:449-630)
     records_by_id = {}

@@ -60,7 +60,14 @@ def run_joint_training(
     class_names: Optional[Sequence[str]] = None,
     metric_writer: Optional[MetricWriter] = None,
     mesh=None,
+    warm_start: Optional[Callable] = None,
 ) -> JointTrainResult:
+    """``warm_start``: optional fn(params) -> params applied once after init
+    (pretrained/finetuned backbone injection, reference fusion.py:92-99).
+    With ``cfg.resume`` and an existing full-state checkpoint, training
+    continues from the last saved epoch instead (params + optimizer + step
+    + data order restored — the mid-training resume the reference lacks,
+    SURVEY §5.4)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     writer = metric_writer or MetricWriter(out_dir, cfg.run_name, cfg.to_dict())
@@ -78,6 +85,8 @@ def run_joint_training(
         model, cfg, jax.random.PRNGKey(cfg.seed), sample_j,
         total_steps=cfg.epochs * steps_per_epoch, kg_dim=kg_dim,
     )
+    if warm_start is not None:
+        state = state.replace(params=warm_start(state.params))
     if mesh is not None:
         from mmrp_tpu.parallel.mesh import shard_params
 
@@ -87,11 +96,42 @@ def run_joint_training(
     train_step = make_train_step(model, cfg, pw, donate=False)
     eval_step = make_eval_step(model, return_attention=True)
 
+    from mmrp_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(out / "ckpt"))
     best = {"composite": -1.0}
     best_state = state
     bad = 0
     step = 0
-    for epoch in range(cfg.epochs):
+    start_epoch = 0
+    if getattr(cfg, "resume", False) and mgr.latest_step() is not None:
+        tmpl = {"params": state.params, "opt_state": state.opt_state,
+                "base_rng": state.base_rng,
+                "step": np.zeros((), np.int64), "epoch": np.zeros((), np.int64),
+                "bad": np.zeros((), np.int64)}
+        r = mgr.restore(tmpl)
+        state = state.replace(params=r["params"], opt_state=r["opt_state"],
+                              base_rng=r["base_rng"], step=int(r["step"]))
+        start_epoch = int(r["epoch"]) + 1
+        bad = int(r["bad"])
+        step = int(r["step"])
+        bm = mgr.best_metrics()
+        if bm:
+            best = {k: v for k, v in bm.items() if k != "_best_value"}
+            try:
+                best_model = mgr.restore_best({"model": state.params["model"]})
+                bp = dict(state.params)
+                bp["model"] = best_model["model"]
+                best_state = state.replace(params=bp)
+            except (FileNotFoundError, ValueError):
+                pass
+        print(f"[resume] continuing from epoch {start_epoch} (step {step})")
+    # deterministic data order across resume: BatchIterator reseeds per
+    # epoch from (seed + _epoch)
+    if hasattr(train_loader, "_epoch"):
+        train_loader._epoch = start_epoch
+
+    for epoch in range(start_epoch, cfg.epochs):
         for batch in train_loader:
             jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
             if mesh is not None:
@@ -140,17 +180,21 @@ def run_joint_training(
             (out / "val_per_class.json").write_text(
                 json.dumps(rep["per_class"], indent=1, default=float)
             )
+            mgr.update_best(
+                composite, {"model": best_state.params["model"]}, best
+            )
         else:
             bad += 1
-            if bad >= cfg.patience:
-                break
+        # full train state every epoch -> killed runs resume mid-training
+        mgr.save(epoch, {"params": state.params, "opt_state": state.opt_state,
+                         "base_rng": state.base_rng,
+                         "step": np.asarray(step, np.int64),
+                         "epoch": np.asarray(epoch, np.int64),
+                         "bad": np.asarray(bad, np.int64)})
+        if bad >= cfg.patience:
+            break
 
     (out / "best_multimodal_metrics.json").write_text(json.dumps(best, indent=1))
-    # persist the best model params for serving/eval reload (orbax)
-    from mmrp_tpu.utils.checkpoint import CheckpointManager
-
-    mgr = CheckpointManager(str(out / "ckpt"))
-    mgr.update_best(best["composite"], {"model": best_state.params["model"]}, best)
     return JointTrainResult(
         state=best_state,
         thresholds=np.load(out / "thresholds.npy"),

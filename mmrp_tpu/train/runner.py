@@ -4,16 +4,22 @@ Glues the pipeline the way the reference's train-everything script does
 (reference: src/Trainner/train.py:209-818), with each stage skipped when
 its artifact already exists (stage caching, SURVEY §5.4):
 
-  stage 0: tokenizer (train WordPiece vocab from the report corpus)
+  stage 0: tokenizer — corpus-trained WordPiece, or ``cfg.pretrained_vocab``
+           (a BERT vocab.txt) when bootstrapping from pretrained backbones
   stage 1: Swin finetune            -> <out>/swin/            (train.py:304-323)
   stage 2: KG build + KGE training  -> <out>/kg/              (train.py:328-360)
-  stage 3: joint multi-modal model  -> <out>/joint/           (train.py:389-739)
+           + LabelAttention pooling -> <out>/label_attention.npz
+             (train_label_attention.py:393-514)
+  stage 3: joint multi-modal model  -> <out>/joint/ — vision tower
+           warm-started from stage 1 (and/or ``cfg.pretrained_swin``), text
+           tower from ``cfg.pretrained_bert`` (fusion.py:92-99, 313-325)
   stage 4: embedding dumps + label-overlap GT + retrieval eval
 """
 
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -21,6 +27,138 @@ import numpy as np
 
 from mmrp_tpu.config import Config
 from mmrp_tpu.labels import LABEL_COLS
+
+
+def _load_pretrained_backbones(cfg: Config, mm_swin_cfg, tok):
+    """Resolve cfg.pretrained_bert / cfg.pretrained_swin into converted
+    param subtrees + a TextConfig override matching the BERT checkpoint."""
+    from mmrp_tpu.models import port
+
+    text_override, bert_params, swin_params = None, None, None
+    if cfg.pretrained_bert:
+        sd = port.load_pretrained_state(cfg.pretrained_bert)
+        text_override = port.text_config_from_state(sd)
+        if text_override.vocab_size != len(tok.vocab):
+            raise ValueError(
+                f"pretrained_vocab has {len(tok.vocab)} tokens but the BERT "
+                f"embedding table has {text_override.vocab_size} rows — the "
+                "vocab file must be the checkpoint's own vocab.txt"
+            )
+        bert_params = port.convert_hf_bert(
+            sd, text_override.num_layers, text_override.num_heads
+        )
+    if cfg.pretrained_swin:
+        sd = port.load_pretrained_state(cfg.pretrained_swin)
+        depths, heads = port.swin_layout_from_state(sd)
+        if tuple(depths) != tuple(mm_swin_cfg.depths):
+            raise ValueError(
+                f"pretrained_swin depths {depths} != configured "
+                f"image_backbone depths {tuple(mm_swin_cfg.depths)} — set "
+                "image_backbone to the checkpoint's variant"
+            )
+        swin_params = port.convert_hf_swin(sd, depths, heads)
+    return text_override, bert_params, swin_params
+
+
+def _run_swin_finetune_stage(cfg: Config, out: Path, split_recs, mm_cfg, tok,
+                             writer, pretrained_swin_params):
+    """Stage 1 (reference train.py:304-323 -> finetune_swin.py:457-1121):
+    label-aware Swin finetune on a balanced subset; cached as a param-tree
+    npz + metrics JSON. Returns the finetuned backbone subtree."""
+    from mmrp_tpu.utils.checkpoint import load_param_tree, save_param_tree
+
+    swin_dir = out / "swin"
+    params_path = swin_dir / "swin_backbone.npz"
+    if params_path.exists():
+        return load_param_tree(str(params_path))
+
+    from mmrp_tpu.data.dataset import (
+        ChestXRDataset, build_dataloader, pos_weight_from_labels,
+    )
+    from mmrp_tpu.models.finetune_head import SwinForFinetune
+    from mmrp_tpu.train.swin_finetune import (
+        SwinFinetuneConfig, build_finetune_subset, finetune,
+    )
+
+    swin_dir.mkdir(parents=True, exist_ok=True)
+    sub = build_finetune_subset(split_recs["train"], seed=cfg.seed)
+
+    # image-only stage: text length 8 keeps the (unused) token batching cheap
+    train_ds = ChestXRDataset(sub, tok, max_length=8, image_size=cfg.image_size)
+    val_ds = ChestXRDataset(split_recs["val"], tok, max_length=8,
+                            image_size=cfg.image_size)
+    train_loader = build_dataloader(train_ds, cfg.batch_size, weighted=True,
+                                    seed=cfg.seed)
+    val_loader = build_dataloader(val_ds, cfg.batch_size, shuffle=False)
+
+    labels = np.stack([np.asarray(r["labels"], np.float32) for r in sub])
+    pw = pos_weight_from_labels(labels, clamp_max=5.0)
+
+    ft_cfg = SwinFinetuneConfig(
+        lr=cfg.swin_finetune_lr, epochs=cfg.swin_finetune_epochs,
+        seed=cfg.seed,
+    )
+    model = SwinForFinetune(
+        swin=mm_cfg.swin,
+        num_classes=len(LABEL_COLS), num_heads=mm_cfg.num_heads,
+    )
+    sample = train_ds[0]["image"][None]
+    res = finetune(
+        model, ft_cfg,
+        train_batches=lambda: iter(train_loader),
+        val_batches=lambda: iter(val_loader),
+        base_pos_weight=pw, sample_image=sample,
+        metric_writer=writer, class_names=LABEL_COLS,
+        init_backbone=pretrained_swin_params,
+    )
+    save_param_tree(str(params_path), res["params"]["swin"])
+    np.save(swin_dir / "thresholds.npy", res["thresholds"])
+    (swin_dir / "best_swin_finetune_metrics.json").write_text(json.dumps(
+        {"best_epoch": res["best_epoch"], "temperature": res["temperature"],
+         "macro_f1": res["report"]["macro_f1"],
+         "macro_auroc": res["report"]["macro_auroc"]},
+        indent=1, default=float,
+    ))
+    print(f"[runner] Swin finetune done: epoch {res['best_epoch']}, "
+          f"macro_f1 {res['report']['macro_f1']:.4f}")
+    return res["params"]["swin"]
+
+
+def _run_label_attention_stage(cfg: Config, out: Path, split_recs,
+                               node_emb, node2id, writer):
+    """LabelAttention pooling head (reference train_label_attention.py:
+    393-514): trains on per-record label-node sets over the KG embedding
+    table and writes the ``label_attention.npz`` the serving reranker
+    consumes (serve/runner.py, reference reranker.py:61-86)."""
+    la_path = out / "label_attention.npz"
+    if la_path.exists():
+        return
+    from mmrp_tpu.kg.label_attention import (
+        LabelAttentionTrainer, LabelAttentionTrainerConfig,
+    )
+
+    label_sets, vecs = [], []
+    for r in split_recs["train"]:
+        idxs = [
+            node2id.get(f"label:{g}")
+            for g, on in zip(LABEL_COLS, r["labels"]) if on
+        ]
+        label_sets.append([i for i in idxs if i is not None])
+        vecs.append(np.asarray(r["labels"], np.float32))
+    la_cfg = LabelAttentionTrainerConfig(
+        hidden_dim=cfg.la_hidden_dim, batch_size=cfg.la_batch_size,
+        epochs=cfg.la_epochs, lr=cfg.la_lr, patience=cfg.la_patience,
+        ice_weight=cfg.la_ice_weight, tpl_weight=cfg.la_tpl_weight,
+        bce_weight=cfg.la_bce_weight, seed=cfg.seed,
+    )
+    la = LabelAttentionTrainer(node_emb, la_cfg)
+    best = la.train(label_sets, np.stack(vecs), metric_writer=writer)
+    rec = la.eval_retrieval(label_sets, np.stack(vecs))
+    la.save(str(la_path))
+    (out / "best_label_attention_metrics.json").write_text(
+        json.dumps({**best, **rec}, indent=1, default=float)
+    )
+    print(f"[runner] LabelAttention stage done: {best} {rec}")
 
 
 def run_training_pipeline(
@@ -41,6 +179,7 @@ def run_training_pipeline(
     from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
     from mmrp_tpu.retrieval.gallery import RetrievalEngine
     from mmrp_tpu.train.pipeline import dump_embeddings, run_joint_training
+    from mmrp_tpu.utils.logging import MetricWriter
 
     import yaml
 
@@ -50,6 +189,7 @@ def run_training_pipeline(
     # snapshot the config so serving can rebuild the exact model shape
     cfg_dict = {k: v for k, v in cfg.to_dict().items() if k != "run_name"}
     (out / "config.yaml").write_text(yaml.safe_dump(cfg_dict))
+    writer = MetricWriter(str(out), cfg.run_name, cfg.to_dict())
 
     records = json.loads((data / "records_cache.json").read_text())["records"]
     if max_records:
@@ -64,9 +204,30 @@ def run_training_pipeline(
     }
 
     # ---- stage 0: tokenizer -------------------------------------------------
-    tok = load_or_train_tokenizer(
-        str(out / "vocab.txt"), corpus=(r["report_text"] for r in records)
+    if cfg.pretrained_vocab:
+        # the checkpoint's own vocab.txt: token ids line up with a ported
+        # ClinicalBERT embedding table (fusion.py:313-325)
+        if not (out / "vocab.txt").exists():
+            shutil.copyfile(cfg.pretrained_vocab, out / "vocab.txt")
+        tok = load_or_train_tokenizer(str(out / "vocab.txt"))
+    else:
+        tok = load_or_train_tokenizer(
+            str(out / "vocab.txt"), corpus=(r["report_text"] for r in records)
+        )
+
+    # ---- pretrained bootstrap (fusion.py:92-99, 313-325) -------------------
+    mm_cfg0 = MultiModalConfig.from_config(cfg, num_classes=len(LABEL_COLS),
+                                           flagship=flagship)
+    text_override, bert_params, swin_pre_params = _load_pretrained_backbones(
+        cfg, mm_cfg0.swin, tok
     )
+
+    # ---- stage 1: Swin finetune (train.py:304-323) -------------------------
+    swin_ft_params = None
+    if cfg.run_swin_finetune and mm_cfg0.vision_backbone == "swin":
+        swin_ft_params = _run_swin_finetune_stage(
+            cfg, out, split_recs, mm_cfg0, tok, writer, swin_pre_params
+        )
 
     # ---- stage 2: KG (before joint so alignment targets exist) -------------
     kg_dir = out / "kg"
@@ -93,6 +254,10 @@ def run_training_pipeline(
     node_emb = np.load(kg_dir / "node_embeddings.npy")
     node2id = json.loads((kg_dir / "node2id.json").read_text())
 
+    if cfg.run_label_attention:
+        _run_label_attention_stage(cfg, out, split_recs, node_emb, node2id,
+                                   writer)
+
     # per-record KG targets for the alignment loss
     def kg_target_for(rec):
         idx = node2id.get(f"report:{rec['id']}")
@@ -106,8 +271,34 @@ def run_training_pipeline(
 
     # ---- stage 3: joint model -----------------------------------------------
     mm_cfg = MultiModalConfig.from_config(cfg, num_classes=len(LABEL_COLS),
-                                          flagship=flagship)
+                                          flagship=flagship,
+                                          text_override=text_override)
     model = MultiModalRetrievalModel(mm_cfg)
+
+    # warm-start the joint towers: finetuned Swin (stage 1) takes priority
+    # over the raw pretrained checkpoint; text from the ported BERT
+    # (reference fusion.py:92-99 — joint training always starts from
+    # pretrained/finetuned backbones, never random init)
+    warm_subtrees = {}
+    vision_warm = swin_ft_params if swin_ft_params is not None else swin_pre_params
+    if vision_warm is not None and mm_cfg.vision_backbone == "swin":
+        warm_subtrees["swin"] = vision_warm
+    if bert_params is not None:
+        warm_subtrees["text"] = bert_params
+
+    warm_start = None
+    if warm_subtrees:
+        import jax.numpy as jnp
+
+        def warm_start(params):
+            bb = dict(params["model"]["backbones"])
+            for k, sub in warm_subtrees.items():
+                bb[k] = jax.tree_util.tree_map(
+                    lambda t, s: jnp.asarray(s, t.dtype), bb[k], sub
+                )
+            m = dict(params["model"])
+            m["backbones"] = bb
+            return {**params, "model": m}
 
     class KGDataset(ChestXRDataset):
         def __getitem__(self, idx):
@@ -128,6 +319,7 @@ def run_training_pipeline(
     result = run_joint_training(
         cfg, model, train_loader, val_loader, str(out / "joint"),
         kg_dim=node_emb.shape[1], class_names=LABEL_COLS,
+        metric_writer=writer, warm_start=warm_start,
     )
 
     # ---- stage 4: embedding dumps + GT + retrieval eval ----------------------

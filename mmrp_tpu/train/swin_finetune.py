@@ -298,10 +298,21 @@ def finetune(
     sample_image: np.ndarray,
     metric_writer=None,
     class_names=None,
+    init_backbone=None,
 ) -> Dict:
-    """Full finetune loop -> dict(params, thresholds, temperature, report)."""
+    """Full finetune loop -> dict(params, thresholds, temperature, report).
+
+    ``init_backbone``: optional pretrained Swin param subtree (models/port.py
+    converters) replacing the random-init backbone before training — the
+    reference always finetunes FROM pretrained weights
+    (finetune_swin.py:585-590)."""
     rng = jax.random.PRNGKey(cfg.seed)
     params = model.init(rng, jnp.asarray(sample_image))["params"]
+    if init_backbone is not None:
+        params = dict(params)
+        params["swin"] = jax.tree_util.tree_map(
+            lambda t, s: jnp.asarray(s, t.dtype), params["swin"], init_backbone
+        )
     tx = make_finetune_optimizer(cfg, params)
     opt_state = tx.init(params)
     step_fn = make_finetune_step(model, cfg, tx)

@@ -16,7 +16,38 @@ import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional
 
+import numpy as np
 import orbax.checkpoint as ocp
+
+
+def save_param_tree(path: str, tree: Any) -> None:
+    """Nested dict-of-arrays -> one compressed npz (keys are '/'-joined
+    paths). Template-free counterpart of orbax for small param subtrees
+    (stage artifacts like the finetuned Swin backbone)."""
+    import jax
+
+    flat = {}
+    for kpath, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kpath
+        )
+        flat[key] = np.asarray(leaf)
+    tmp = str(path) + ".tmp.npz"
+    np.savez_compressed(tmp, **flat)
+    Path(tmp).replace(path)
+
+
+def load_param_tree(path: str) -> Dict[str, Any]:
+    """Inverse of save_param_tree: npz -> nested dict of numpy arrays."""
+    z = np.load(path)
+    tree: Dict[str, Any] = {}
+    for key in z.files:
+        parts = key.split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = z[key]
+    return tree
 
 
 class CheckpointManager:

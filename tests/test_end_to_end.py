@@ -100,12 +100,22 @@ def test_data_cli_and_training_pipeline(fixture_dirs, tmp_path_factory):
     assert (out / "train" / "test_embeddings.npy").exists()
     assert (out / "train" / "vocab.txt").exists()
     assert (out / "train" / "kg" / "node_embeddings.npy").exists()
+    # staged-pipeline artifacts (reference train.py:304-360): stage-1 Swin
+    # finetune backbone + metrics, LabelAttention ckpt for the reranker
+    assert (out / "train" / "swin" / "swin_backbone.npz").exists()
+    assert (out / "train" / "swin" / "best_swin_finetune_metrics.json").exists()
+    assert (out / "train" / "label_attention.npz").exists()
+    # full-train-state checkpoints for --resume
+    assert any((out / "train" / "joint" / "ckpt" / "steps").iterdir())
 
     # ---- serving round trip over HTTP -------------------------------------
     from mmrp_tpu.serve.app import serve
     from mmrp_tpu.serve.runner import build_demo_context
 
-    server = serve(lambda: build_demo_context(str(out / "train")), port=0, block=False)
+    ctx = build_demo_context(str(out / "train"))
+    # per-class calibrated thresholds reach the predictor (train.py:620-704)
+    assert np.asarray(ctx["predictor"].threshold).shape == (len(LABEL_COLS),)
+    server = serve(lambda: ctx, port=0, block=False)
     port = server.server_address[1]
     try:
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=30) as r:
@@ -131,5 +141,29 @@ def test_data_cli_and_training_pipeline(fixture_dirs, tmp_path_factory):
         assert all(n in LABEL_COLS for n in names)
         assert "retrieval" in payload and len(payload["retrieval"]) > 0
         assert "agreement" in payload
+
+        # per-retrieved-item full explain (reference app.py:449-630):
+        # K items batched through attention+IG+GradCAM with per-item targets
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/predict",
+            data=json.dumps({
+                "dicom_b64": base64.b64encode(blob).decode(),
+                "text": "cardiomegaly with effusion",
+                "detail": True,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.loads(r.read())
+        detail = payload["retrieval_detail"]
+        assert len(detail) >= 1
+        d0 = detail[0]
+        for key in ("top_labels", "agreement", "cross_map", "cross_map_ig"):
+            assert key in d0, key
+        assert "attn_vs_ig" in d0["agreement"]
+        assert "attn_vs_gradcam" in d0["agreement"]
+        assert "iou@20%" in d0["cross_map"]
+        if len(detail) >= 2:
+            assert "retrieval_diversity" in payload
     finally:
         server.shutdown()
