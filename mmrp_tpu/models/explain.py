@@ -43,6 +43,17 @@ def patch_vector_to_map(
     return _normalize01(m)
 
 
+def _select_logits(logits: jnp.ndarray, target_idx) -> jnp.ndarray:
+    """Scalar target -> one class for the whole batch; (B,) vector ->
+    per-sample class (K retrieved items explained for their own top-1 in
+    ONE batched program, reference app.py:449-630 runs K sequential
+    predicts instead)."""
+    t = jnp.asarray(target_idx)
+    if t.ndim == 0:
+        return logits[:, t].sum()
+    return jnp.take_along_axis(logits, t[:, None], axis=1).sum()
+
+
 class ExplanationEngine:
     """Wraps (model, params). All heavy paths are jitted once per shape."""
 
@@ -128,7 +139,7 @@ class ExplanationEngine:
                         {"params": params["model"]} if "model" in params else {"params": params},
                         img, ids, mask, deterministic=True,
                     )
-                    return out["logits"][:, target_idx].sum()
+                    return _select_logits(out["logits"], target_idx)
 
                 grad_fn = jax.grad(logit_of)
                 alphas = (jnp.arange(n_steps) + 0.5) / n_steps
@@ -170,7 +181,7 @@ class ExplanationEngine:
                     out = self.model.apply(
                         mp, image, ids, mask, deterministic=True, patch_delta=delta,
                     )
-                    return out["logits"][:, target_idx].sum(), out["img_patches_proj"]
+                    return _select_logits(out["logits"], target_idx), out["img_patches_proj"]
 
                 # run once to get the patch activation shape
                 probe = self.model.apply(mp, image, ids, mask, deterministic=True)
@@ -216,7 +227,7 @@ class ExplanationEngine:
                     out = self.model.apply(
                         mp, image, ids, mask, deterministic=True, txt_delta=delta,
                     )
-                    return out["logits"][:, target_idx].sum()
+                    return _select_logits(out["logits"], target_idx)
 
                 grad_fn = jax.grad(logit_of)
                 alphas = (jnp.arange(n_steps) + 0.5) / n_steps

@@ -140,12 +140,22 @@ def render_results(payload: Dict[str, Any]) -> str:
         parts.append('<div class="card"><h2>Retrieved case detail</h2>')
         for d in payload["retrieval_detail"]:
             cm = d["cross_map"]
+            top = ", ".join(
+                f"{html.escape(n)} {p:.2f}" for n, p in d.get("top_labels", [])[:3]
+            )
+            imgs = "".join(
+                f"<img src='data:image/png;base64,{d[k]}' title='{k}'>"
+                for k in ("overlay", "overlay_ig", "overlay_gradcam") if d.get(k)
+            )
+            ag = d.get("agreement", {}).get("attn_vs_ig", {})
             parts.append(
-                f"<div style='display:inline-block;margin:6px;text-align:center'>"
+                f"<div style='margin:6px'>"
                 f"<h4>{html.escape(str(d['id']))} ({d['score']:.3f})</h4>"
-                f"<img src='data:image/png;base64,{d['overlay']}'>"
-                f"<br><small>pearson {cm.get('pearson', float('nan')):.2f} · "
-                f"IoU@20% {cm.get('iou@20%', 0):.2f}</small></div>"
+                f"{imgs}"
+                f"<br><small>{top}</small>"
+                f"<br><small>vs query: pearson {cm.get('pearson', float('nan')):.2f} · "
+                f"IoU@20% {cm.get('iou@20%', 0):.2f} · "
+                f"attn-vs-IG pearson {ag.get('pearson', float('nan')):.2f}</small></div>"
             )
         if payload.get("retrieval_diversity") is not None:
             parts.append(
@@ -209,15 +219,17 @@ def run_inference(ctx: DemoContext, dicom_bytes: bytes, text: str,
         "latency_ms": (time.perf_counter() - t0) * 1e3,
     }
 
-    # per-retrieved-item full explain + cross-image map comparison + diversity
-    # (reference app.py:449-630); requires the run's record map
+    # per-retrieved-item FULL explain (attention + IG + Grad-CAM + agreement)
+    # + cross-image map comparisons + diversity (reference app.py:449-630).
+    # The reference re-runs predict(explain=True) sequentially per item; here
+    # all K items go through each explain program as ONE batch, with
+    # per-sample IG/Grad-CAM targets (models/explain.py::_select_logits).
     if detail and res.get("records_by_id"):
-        from mmrp_tpu.eval.diversity import embedding_diversity
+        from mmrp_tpu.eval.diversity import embedding_diversity, label_diversity
 
-        details = []
-        r_embs = []
         q_map = attn["attn_final"][0]
-        for rid, score in payload["retrieval"][:3]:
+        items, imgs, idss, masks = [], [], [], []
+        for rid, score in payload["retrieval"][:5]:
             rec = res["records_by_id"].get(rid)
             if rec is None:
                 continue
@@ -225,23 +237,54 @@ def run_inference(ctx: DemoContext, dicom_bytes: bytes, text: str,
                 r_chw = pp.load(rec["dicom_path"])
             except (ValueError, OSError):
                 continue
-            r_img = np.transpose(r_chw, (1, 2, 0))[None].astype(np.float32)
             r_ids, r_mask = tok.encode(rec.get("report_text", ""), max_length=max_len)
-            r_maps = predictor.explainer.attention_maps(r_img, r_ids[None], r_mask[None])
-            r_base = (r_img[0, :, :, 0] + 1.0) / 2.0
-            emb = predictor.embed(r_img, r_ids[None], r_mask[None])
-            r_embs.append(emb["joint_emb"][0])
-            details.append(
-                {
+            items.append((rid, float(score), rec))
+            imgs.append(np.transpose(r_chw, (1, 2, 0)).astype(np.float32))
+            idss.append(r_ids)
+            masks.append(r_mask)
+        details = []
+        if items:
+            r_img = np.stack(imgs)
+            r_ids = np.stack(idss)
+            r_mask = np.stack(masks)
+            emb = predictor.embed(r_img, r_ids, r_mask)
+            targets = np.argmax(emb["probs"], axis=1)  # per-item top-1 class
+            ex = predictor.explainer
+            r_attn = ex.attention_maps(r_img, r_ids, r_mask)
+            r_ig = ex.integrated_gradients(r_img, r_ids, r_mask, targets)
+            r_cam = ex.grad_cam(r_img, r_ids, r_mask, targets)
+            names = predictor.label_names
+            for b, (rid, score, rec) in enumerate(items):
+                r_base = (r_img[b, :, :, 0] + 1.0) / 2.0
+                fin = r_attn["attn_final"][b]
+                order = np.argsort(-emb["probs"][b])[:5]
+                details.append({
                     "id": rid,
-                    "score": float(score),
-                    "overlay": _png_base64(r_base, r_maps["attn_final"][0]),
-                    "cross_map": compare_maps(q_map, r_maps["attn_final"][0]),
-                }
-            )
-        payload["retrieval_detail"] = details
-        if len(r_embs) >= 2:
-            payload["retrieval_diversity"] = embedding_diversity(np.stack(r_embs))
+                    "score": score,
+                    "top_labels": [(names[i], float(emb["probs"][b, i]))
+                                   for i in order],
+                    "overlay": _png_base64(r_base, fin),
+                    "overlay_ig": _png_base64(r_base, r_ig[b]),
+                    "overlay_gradcam": _png_base64(r_base, r_cam[b]),
+                    "agreement": {
+                        "attn_vs_ig": compare_maps(fin, r_ig[b]),
+                        "attn_vs_gradcam": compare_maps(fin, r_cam[b]),
+                    },
+                    "cross_map": compare_maps(q_map, fin),
+                    "cross_map_ig": compare_maps(q_map, r_ig[b]),
+                })
+            payload["retrieval_detail"] = details
+            if len(items) >= 2:
+                payload["retrieval_diversity"] = embedding_diversity(
+                    np.stack([emb["joint_emb"][b] for b in range(len(items))])
+                )
+                lbls = [rec.get("labels") for _, _, rec in items]
+                if all(l is not None for l in lbls):
+                    payload["retrieval_label_diversity"] = label_diversity(
+                        np.stack([np.asarray(l) for l in lbls])
+                    )
+        else:
+            payload["retrieval_detail"] = details
     return payload
 
 
@@ -296,6 +339,7 @@ def make_handler(ctx: DemoContext):
                     payload = run_inference(
                         ctx, dicom, req.get("text", ""),
                         float(req.get("threshold", 0.5)),
+                        detail=bool(req.get("detail", False)),
                     )
                     payload.pop("token_html", None)
                     payload.pop("images", None)
