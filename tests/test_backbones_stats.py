@@ -40,6 +40,53 @@ def test_vit_encoder_shapes(rng):
     assert out["global"].shape == (2, 192)
 
 
+def test_efficientnet_b0_encoder_shapes(rng):
+    from mmrp_tpu.models.efficientnet import EfficientNetConfig, EfficientNetEncoder
+
+    model = EfficientNetEncoder(EfficientNetConfig.b0())
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    # 64 / 32 (stem + four stride-2 stages) = 2x2 map, 1280 head channels
+    assert out["patches"].shape == (1, 4, 1280)
+    assert out["global"].shape == (1, 1280)
+    assert np.isfinite(np.asarray(out["patches"])).all()
+    # stateless norms: no mutable collections
+    assert set(params.keys()) == {"params"}
+    # B0 stage layout: 16 MBConv blocks across 7 stages
+    n_blocks = sum(1 for k in params["params"] if "_block" in k)
+    assert n_blocks == 16
+
+
+def test_multimodal_efficientnet_backbone_forward(rng):
+    from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
+    from mmrp_tpu.models.swin import SwinConfig
+    from mmrp_tpu.models.text_encoder import TextConfig
+
+    text = TextConfig.small(vocab_size=64, hidden_dim=16, num_layers=1,
+                            num_heads=2, intermediate_dim=32, max_positions=16)
+    img = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, (1, 8)), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    cfg = MultiModalConfig(
+        swin=SwinConfig.micro(img_size=64), text=text,
+        vision_backbone="efficientnet",
+        joint_dim=16, num_fusion_layers=1, num_heads=2, num_classes=5,
+        max_text_len=8,
+    )
+    model = MultiModalRetrievalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), img, ids, mask)
+    out = model.apply(params, img, ids, mask)
+    assert out["logits"].shape == (1, 5)
+    # Config dispatch: image_backbone="efficientnet_b0" selects this tower
+    from mmrp_tpu.config import Config
+
+    mm = MultiModalConfig.from_config(
+        Config(image_backbone="efficientnet_b0"), num_classes=5
+    )
+    assert mm.vision_backbone == "efficientnet"
+
+
 def test_multimodal_with_alternate_backbones(rng):
     from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
     from mmrp_tpu.models.swin import SwinConfig
