@@ -87,6 +87,157 @@ def verification_delta(
     }
 
 
+def mesh_label_stats(
+    xml_dir: str,
+    out_dir: Optional[str] = None,
+    min_count_threshold: int = 5,
+) -> Dict:
+    """MeSH-term statistics vs the label taxonomy (reference:
+    src/Evaluate/dataEDAnLabeledCheck.py): count ``<MeSH>`` child terms
+    across the OpenI XMLs, map each (lowercased, pre-'/' qualifier
+    stripped) term against every taxonomy phrase list, and report unmapped
+    terms, terms claimed by multiple groups, and per-group phrase counts.
+    With ``out_dir`` set, also writes a bar plot of the frequent terms."""
+    import xml.etree.ElementTree as ET
+
+    from mmrp_tpu.labels.taxonomy import get_taxonomy
+
+    counter: Counter = Counter()
+    files = sorted(Path(xml_dir).glob("*.xml"))
+    for fn in files:
+        try:
+            root = ET.parse(fn).getroot()
+        except ET.ParseError:
+            continue
+        for node in root.findall(".//MeSH/*"):
+            label = (node.text or "").split("/")[0].strip().lower()
+            if label:
+                counter[label] += 1
+
+    # ALL categories including the auxiliary device/technical/anatomy
+    # groups, like the reference's merged all_groups dict
+    all_groups: Dict[str, Sequence[str]] = {}
+    for groups in get_taxonomy().categories.values():
+        all_groups.update(groups)
+    reverse: Dict[str, List[str]] = {}
+    for group, phrases in all_groups.items():
+        for p in phrases:
+            reverse.setdefault(p.strip().lower(), []).append(group)
+    unmapped = sorted(t for t in counter if t not in reverse)
+    multi = sorted(t for t, g in reverse.items() if len(g) > 1)
+    report = {
+        "n_xml_files": len(files),
+        "n_unique_mesh_terms": len(counter),
+        "n_mesh_occurrences": int(sum(counter.values())),
+        "mesh_counts": dict(counter.most_common()),
+        "unmapped_terms": unmapped,
+        "n_unmapped": len(unmapped),
+        "terms_in_multiple_groups": multi,
+        "group_phrase_counts": {g: len(p) for g, p in all_groups.items()},
+    }
+    if out_dir:
+        outp = Path(out_dir)
+        outp.mkdir(parents=True, exist_ok=True)
+        (outp / "mesh_label_stats.json").write_text(
+            json.dumps(report, indent=1)
+        )
+        top = [(t, c) for t, c in counter.most_common()
+               if c >= min_count_threshold] or counter.most_common(20)
+        if top:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(10, max(3, 0.3 * len(top))))
+            names = [t for t, _ in top][::-1]
+            vals = [c for _, c in top][::-1]
+            ax.barh(names, vals)
+            ax.set_xlabel("occurrences")
+            ax.set_title(f"MeSH terms (count >= {min_count_threshold})")
+            fig.tight_layout()
+            fig.savefig(outp / "mesh_term_counts.png", dpi=100)
+            plt.close(fig)
+            report["plot"] = str(outp / "mesh_term_counts.png")
+    return report
+
+
+def dicom_debug_plots(dicom_src, out_dir: str) -> Dict[str, float]:
+    """DICOM-pipeline visual debug (reference: src/Evaluate/
+    data_phrase_check.py:61-110): per-stage histograms (raw -> rescaled ->
+    windowed -> normalized) and the final normalized image, as PNGs, plus
+    the printed min/max stats as a dict."""
+    from mmrp_tpu.data.dicom import percentile_window, read_dicom, window_image
+
+    dcm = read_dicom(dicom_src)
+    raw = dcm.pixel_array.astype(np.float32)
+    scaled = raw * dcm.rescale_slope + dcm.rescale_intercept
+    if dcm.window_center is not None and dcm.window_width:
+        lower = dcm.window_center - dcm.window_width / 2.0
+        upper = dcm.window_center + dcm.window_width / 2.0
+        win = np.clip(scaled, lower, upper)
+        norm = (win - lower) / (upper - lower + 1e-5)
+    else:
+        norm = percentile_window(scaled)
+        win = norm
+    stats = {
+        "raw_min": float(raw.min()), "raw_max": float(raw.max()),
+        "scaled_min": float(scaled.min()), "scaled_max": float(scaled.max()),
+        "window_center": float(dcm.window_center or 0.0),
+        "window_width": float(dcm.window_width or 0.0),
+        "norm_min": float(norm.min()), "norm_max": float(norm.max()),
+    }
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    outp = Path(out_dir)
+    outp.mkdir(parents=True, exist_ok=True)
+    fig, axs = plt.subplots(1, 4, figsize=(16, 3.2))
+    for ax, (title, arr) in zip(
+        axs, [("Raw", raw), ("Scaled", scaled), ("Windowed", win),
+              ("Normalized", norm)]
+    ):
+        ax.hist(arr.ravel(), bins=100)
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(outp / "dicom_debug.png", dpi=100)
+    plt.close(fig)
+
+    fig, ax = plt.subplots()
+    ax.imshow(norm, cmap="gray", vmin=0, vmax=1)
+    ax.set_title("Final Normalized Image")
+    ax.axis("off")
+    fig.savefig(outp / "final_norm.png", dpi=100)
+    plt.close(fig)
+    (outp / "dicom_debug_stats.json").write_text(json.dumps(stats, indent=1))
+    return stats
+
+
+def label_distribution_plot(
+    labels: np.ndarray, names: Sequence[str], out_path: str
+) -> str:
+    """Positive-count bar chart per label (data_phrase_check.py's label
+    distribution plot)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    counts = np.asarray(labels).sum(axis=0)
+    fig, ax = plt.subplots(figsize=(10, max(3, 0.25 * len(names))))
+    ax.barh(list(names)[::-1], counts[::-1].tolist())
+    ax.set_xlabel("positive count")
+    ax.set_title("Label distribution")
+    fig.tight_layout()
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+    return out_path
+
+
 def phrase_match_check(
     records: Sequence[dict], labeler, n_samples: int = 20, seed: int = 0
 ) -> List[dict]:

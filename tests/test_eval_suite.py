@@ -215,3 +215,53 @@ def test_label_embedding_lookup(rng):
     assert lookup.label_indices("r1") == [0, 2]
     np.testing.assert_allclose(lookup.embeddings("r1"), table[[0, 2]])
     assert lookup.embeddings("unknown").shape == (0, 4)
+
+
+# ---------------------------------------------------------------------------
+# EDA visual diagnostics (dataEDAnLabeledCheck.py, data_phrase_check.py:61-110)
+# ---------------------------------------------------------------------------
+
+
+def test_mesh_label_stats(tmp_path):
+    from mmrp_tpu.eval.eda import mesh_label_stats
+
+    xml = tmp_path / "xml"
+    xml.mkdir()
+    (xml / "1.xml").write_text(
+        "<eCitation><MeSH><major>Cardiomegaly/severe</major>"
+        "<major>Pleural Effusion</major></MeSH></eCitation>"
+    )
+    (xml / "2.xml").write_text(
+        "<eCitation><MeSH><major>cardiomegaly</major>"
+        "<major>Totally Made Up Term</major></MeSH></eCitation>"
+    )
+    rep = mesh_label_stats(str(xml), out_dir=str(tmp_path / "eda"),
+                           min_count_threshold=1)
+    assert rep["n_xml_files"] == 2
+    # qualifier stripped + lowercased -> the two cardiomegaly rows merge
+    assert rep["mesh_counts"]["cardiomegaly"] == 2
+    assert "totally made up term" in rep["unmapped_terms"]
+    # cardiomegaly is a taxonomy phrase -> mapped
+    assert "cardiomegaly" not in rep["unmapped_terms"]
+    assert (tmp_path / "eda" / "mesh_label_stats.json").exists()
+    assert (tmp_path / "eda" / "mesh_term_counts.png").exists()
+
+
+def test_dicom_debug_and_label_plots(tmp_path):
+    from mmrp_tpu.data import dicom as D
+    from mmrp_tpu.eval.eda import dicom_debug_plots, label_distribution_plot
+
+    rng = np.random.default_rng(0)
+    arr = (rng.random((32, 32)) * 3000).astype(np.uint16)
+    p = tmp_path / "x.dcm"
+    D.write_dicom(p, arr, window_center=1500, window_width=3000)
+    stats = dicom_debug_plots(str(p), str(tmp_path / "eda"))
+    assert stats["raw_max"] > stats["raw_min"]
+    assert 0.0 <= stats["norm_min"] <= stats["norm_max"] <= 1.0
+    assert (tmp_path / "eda" / "dicom_debug.png").exists()
+    assert (tmp_path / "eda" / "final_norm.png").exists()
+
+    out = label_distribution_plot(
+        np.array([[1, 0], [1, 1]]), ["a", "b"], str(tmp_path / "dist.png")
+    )
+    assert (tmp_path / "dist.png").exists()
