@@ -176,7 +176,8 @@ def main() -> None:
     # and the Swin-B flagship embed (BENCH_FLAGSHIP=1 runs of this file)
     here = os.path.dirname(os.path.abspath(__file__))
     for side, key in (("BENCH_TRAIN.json", "train_step"),
-                      ("BENCH_FLAGSHIP.json", "flagship_embed")):
+                      ("BENCH_FLAGSHIP.json", "flagship_embed"),
+                      ("BENCH_EXPLAIN.json", "explain")):
         p = os.path.join(here, side)
         if os.path.exists(p):
             try:
