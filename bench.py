@@ -3,11 +3,13 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Primary metric: joint-embedding throughput (pairs/sec/chip) of the flagship
-embed path — Swin-T vision encoder + ClinicalBERT-dims text encoder + 5-layer
-fusion, text length 64 (median OpenI report length; the reference pads to
-512 but true reports are short). Baseline: the driver-set north star of
-5,000 pairs/sec/chip (BASELINE.json).
+Primary metric: joint-embedding throughput (pairs/sec/chip) of the FLAGSHIP
+parity architecture — Swin-B (the reference backbone, fusion.py:92) +
+ClinicalBERT-dims text encoder + 5-layer fusion, text length 64 (median
+OpenI report length; the reference pads to 512 but true reports are short).
+BENCH_SWIN=tiny selects the lighter stand-in (recorded under its own
+metric name). Baseline: the driver-set north star of 5,000 pairs/sec/chip
+(BASELINE.json).
 
 Default serving precision is the measured optimum mix (tools/ab_bench.py):
 bf16 fused Pallas kernels for the BW-bound attention blocks + W8A8 int8
@@ -33,6 +35,21 @@ import os
 import time
 
 import numpy as np
+
+
+def setup_compile_cache() -> None:
+    """Persistent XLA compile cache: repeat bench/A-B runs skip the
+    multi-minute first compile through the tunnel. Shared by every tool
+    under tools/ (call before building models)."""
+    import jax
+
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "mmrp_jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (AttributeError, ValueError):
+        pass
 
 
 def _build_model(use_pallas: bool, text_len: int, swin_name: str = None):
@@ -102,11 +119,17 @@ def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int):
     dt = time.perf_counter() - t0
     throughput = batch * iters / dt
 
-    swin_flops = {"tiny": 4.5e9, "small": 8.7e9, "base": 15.4e9}.get(
-        os.environ.get("BENCH_SWIN", "tiny"), 4.5e9
+    # FLOPs (2 x MACs): Swin GMACs 4.5/8.7/15.4 (tiny/small/base); BERT-base
+    # dims ~85M MACs/token; fusion stack 2.07 TF per 128 pairs at L64
+    # (docs/ROOFLINE.md §3), scaled by the text share for other lengths.
+    swin_flops = {"tiny": 9.0e9, "small": 17.4e9, "base": 30.8e9}.get(
+        os.environ.get("BENCH_SWIN", "tiny"), 9.0e9
     )
-    flops_per_pair = swin_flops + 2.0 * 85e6 * text_len + 3.0e9  # swin + bert + fusion
-    return throughput, throughput * flops_per_pair / 197e12
+    fusion_flops = 12.4e9 + 60e6 * text_len  # const (patch/seq) + per-token
+    flops_per_pair = swin_flops + 2.0 * 85e6 * text_len + fusion_flops
+    # fraction of the MEASURED bf16 rate of this chip slice (~105 TF/s,
+    # docs/ROOFLINE.md §1), not the nominal 197: "1.0" = at the roof
+    return throughput, throughput * flops_per_pair / 105e12
 
 
 def bench_retrieval(n_gallery: int, dim: int = 1024, k: int = 10, iters: int = 64):
@@ -142,9 +165,16 @@ def bench_retrieval(n_gallery: int, dim: int = 1024, k: int = 10, iters: int = 6
 def main() -> None:
     import jax
 
+    setup_compile_cache()
+
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    batch = int(os.environ.get("BENCH_BATCH", "128" if on_tpu else "4"))
+    # headline = the FLAGSHIP parity architecture (Swin-B, reference
+    # fusion.py:92). BENCH_SWIN=tiny selects the smaller stand-in, recorded
+    # with its own clearly-labeled metric name.
+    swin_name = os.environ.setdefault("BENCH_SWIN", "base" if on_tpu else "tiny")
+    batch = int(os.environ.get(
+        "BENCH_BATCH", ("64" if swin_name == "base" else "128") if on_tpu else "4"))
     text_len = int(os.environ.get("BENCH_TEXT_LEN", "64"))
     iters = 20 if on_tpu else 2
     # fused Pallas window attention is the default on TPU (measured +15%
@@ -189,11 +219,13 @@ def main() -> None:
     with open("BENCH_DETAILS.json", "w") as fh:
         json.dump(details, fh, indent=1)
 
+    arch_tag = {"base": "swin_b", "small": "swin_s", "tiny": "swin_t"}.get(
+        swin_name, swin_name)
     print(
         json.dumps(
             {
-                "metric": "pairs_embedded_per_sec_per_chip(swin_t+clinbert_dims,L64,"
-                + dtype_tag + ")",
+                "metric": f"pairs_embedded_per_sec_per_chip({arch_tag}"
+                f"+clinbert_dims,L{text_len},{dtype_tag})",
                 "value": round(throughput, 2),
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(throughput / 5000.0, 4),

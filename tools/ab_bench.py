@@ -94,6 +94,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bench import setup_compile_cache
+
+    setup_compile_cache()
+
     variant = sys.argv[1]
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     L = int(os.environ.get("AB_TEXT_LEN", "64"))
@@ -185,14 +189,17 @@ def main():
         from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
 
         # swin | swin_xla | swin_stages_TTFF | swin_int8k (quantized
-        # whole-block GEMMs at wide-C stages)
+        # whole-block GEMMs at wide-C stages); AB_SWIN=tiny|small|base
+        # selects the encoder size (base = the Swin-B parity backbone)
         use_pallas = variant != "swin_xla"
         stages = None
         if "stages_" in variant:
             stages = tuple(c == "T" for c in variant.split("stages_")[1])
+        size = os.environ.get("AB_SWIN", "tiny")
         model = SwinEncoder(
-            SwinConfig.tiny(use_pallas=use_pallas, pallas_stages=stages,
-                            quant="int8" if "int8" in variant else "none"),
+            SwinConfig.from_name(f"swin_{size}",
+                                 use_pallas=use_pallas, pallas_stages=stages,
+                                 quant="int8" if "int8" in variant else "none"),
             dtype=jnp.bfloat16)
         img = jnp.asarray(rng.random((B, 224, 224, 3), dtype=np.float32))
         params = model.init(jax.random.PRNGKey(0), img[:1])

@@ -33,6 +33,10 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> None:
+    from bench import setup_compile_cache
+
+    setup_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

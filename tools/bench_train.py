@@ -27,6 +27,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from bench import setup_compile_cache
+
+    setup_compile_cache()
+
     from mmrp_tpu.config import Config
     from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
     from mmrp_tpu.models.swin import SwinConfig
@@ -101,6 +105,18 @@ def main() -> None:
     _, loss2 = chain(state2)
     loss2 = float(loss2)  # scalar fetch forces the whole chain
     dt = time.perf_counter() - t0
+
+    if os.environ.get("AB_TRACE"):
+        # per-op attribution of the train step (same aggregation as
+        # tools/ab_bench.py) — VERDICT r2 #4: trace the step like the embed
+        # path was traced
+        from ab_bench import _dump_trace  # tools/ is on sys.path when run as a script
+
+        trace_dir = os.environ.get("AB_TRACE_DIR", "/tmp/train_trace")
+        with jax.profiler.trace(trace_dir):
+            _, l3 = chain(state2)
+            float(l3)
+        _dump_trace(trace_dir, iters, top=40)
 
     result = {
         "metric": f"train_pairs_per_sec_per_chip(swin_{swin_name},L{text_len},"

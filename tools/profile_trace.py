@@ -25,6 +25,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def capture(trace_dir: str):
+    from bench import setup_compile_cache
+
+    setup_compile_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -112,9 +116,21 @@ def aggregate(trace_dir: str, iters: int):
         lsum = 0
         for ev in line.events:
             dur = ev.duration_ns
-            # collapse fusion instance ids: fusion.123 -> fusion
-            base = re.sub(r"[.\d]+$", "", ev.name)
-            per_op[base] += dur
+            # Event names can be full HLO instruction strings
+            # ("%stage2_block0.12 = bf16[...] custom-call(...)"); collapse
+            # to the instruction-name prefix ("stage2_block"). The `while`
+            # wrapper spans the whole chain — track it separately so the
+            # per-op table decomposes the body instead of double-counting.
+            m = re.match(r"%([a-zA-Z][\w\-]*?)[.\d]*[\s=]", ev.name)
+            base = m.group(1) if m else re.sub(r"[.\d]+$", "", ev.name)
+            # per-op table: sync XLA Ops line only (async copy/slice spans
+            # overlap compute and double-count; Modules duplicate the body)
+            if lname == "XLA Ops":
+                if base == "while":
+                    per_line["while(total)"] = (
+                        per_line.get("while(total)", 0) + dur)
+                else:
+                    per_op[base] += dur
             lsum += dur
             total += dur
         per_line[lname] = per_line.get(lname, 0) + lsum
