@@ -145,6 +145,16 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    from mmrp_tpu.serve.stream import run_stream
+
+    stats = run_stream(args.run_dir, args.data, split=args.split,
+                       out_dir=args.out_dir, K=args.k,
+                       batch_size=args.batch_size)
+    print(json.dumps(stats, indent=1))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -201,6 +211,17 @@ def main(argv=None) -> int:
     p.add_argument("--run-dir", required=True)
     p.add_argument("--port", type=int, default=8000)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "stream",
+        help="streaming embed+retrieve+predict over a split (high batch)")
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--data", required=True, help="data pipeline output dir")
+    p.add_argument("--split", default="test")
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("bench", help="benchmark")
     p.set_defaults(fn=cmd_bench)

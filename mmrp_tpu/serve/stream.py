@@ -1,0 +1,171 @@
+"""Streaming embed+retrieve+predict at high batch (BASELINE config #5).
+
+The reference has no batch-serving path — the Flask app handles one upload
+at a time (reference src/web/app.py:254-638) and offline embedding dumps
+are separate scripts. This driver runs the full production pipeline as a
+stream: one jitted embed+classify program per batch (optionally SPMD over
+a dp mesh), exact sharded-gallery top-K (retrieval/gallery.py), per-class
+calibrated thresholds, with host-side prefetch overlapping the next
+batch's preprocessing against device compute
+(data/pipeline.py::PrefetchLoader).
+
+Throughput accounting follows the chained-measurement caveat (CLAUDE.md):
+wall-clock over the whole stream with a final blocking fetch — per-batch
+timings are indicative only.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterable, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmrp_tpu.retrieval.gallery import RetrievalEngine
+
+
+class StreamingPipeline:
+    def __init__(
+        self,
+        model,
+        params: Dict[str, Any],
+        engine: Optional[RetrievalEngine] = None,
+        label_names: Optional[Sequence[str]] = None,
+        threshold: "float | np.ndarray" = 0.5,
+        K: int = 10,
+        mesh=None,
+    ):
+        self.model = model
+        self.params = params
+        self.engine = engine
+        self.label_names = list(label_names) if label_names else None
+        self.threshold = np.asarray(threshold)
+        self.K = K
+        self.mesh = mesh
+
+        def fwd(params, image, ids, mask):
+            out = model.apply(
+                {"params": params["model"]} if "model" in params else {"params": params},
+                image, ids, mask, deterministic=True,
+            )
+            return {
+                "probs": jax.nn.sigmoid(out["logits"]),
+                "joint_emb": out["joint_emb"],
+            }
+
+        self._fwd = jax.jit(fwd)
+
+    def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k in ("image", "input_ids", "attention_mask")}
+        if self.mesh is not None:
+            from mmrp_tpu.data.pipeline import device_put_sharded_batch
+
+            jb = device_put_sharded_batch(jb, self.mesh)
+        return jb
+
+    def process_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """One batch -> probs, predicted label sets, joint embeddings,
+        top-K retrieval (when an engine is attached)."""
+        jb = self._put(batch)
+        out = self._fwd(self.params, jb["image"], jb["input_ids"],
+                        jb["attention_mask"])
+        probs = np.asarray(out["probs"])
+        emb = np.asarray(out["joint_emb"])
+        keep = np.asarray(batch.get("valid", np.ones(probs.shape[0]))) > 0
+        result: Dict[str, Any] = {
+            "probs": probs[keep],
+            "joint_emb": emb[keep],
+            "ids": [i for i, k in zip(batch.get("ids", []), keep) if k]
+            or None,
+        }
+        pred = probs[keep] >= self.threshold
+        if self.label_names:
+            result["predicted"] = [
+                [self.label_names[j] for j in np.where(row)[0]] for row in pred
+            ]
+        else:
+            result["predicted"] = [np.where(row)[0].tolist() for row in pred]
+        if self.engine is not None:
+            s, i = self.engine.retrieve_batch(emb[keep], k=self.K)
+            result["retrieval"] = [
+                [(self.engine.ids[int(j)], float(sc)) for j, sc in zip(ri, rs)]
+                for ri, rs in zip(i, s)
+            ]
+        return result
+
+    def run(
+        self, loader: Iterable[Dict[str, np.ndarray]]
+    ) -> Iterator[Dict[str, Any]]:
+        """Stream the loader through the pipeline; yields per-batch results
+        and records throughput in ``self.stats`` at the end."""
+        n = 0
+        t0 = time.perf_counter()
+        for batch in loader:
+            res = self.process_batch(batch)
+            n += len(res["probs"])
+            yield res
+        dt = time.perf_counter() - t0
+        self.stats = {
+            "pairs": n,
+            "wall_s": dt,
+            "pairs_per_sec": n / dt if dt > 0 else 0.0,
+            "retrieval": self.engine is not None,
+            "mesh": str(self.mesh.shape) if self.mesh is not None else None,
+        }
+
+
+def run_stream(
+    run_dir: str,
+    data_dir: str,
+    split: str = "test",
+    out_dir: Optional[str] = None,
+    K: int = 10,
+    batch_size: Optional[int] = None,
+) -> Dict[str, Any]:
+    """CLI driver: load a trained run, stream a split through
+    embed+retrieve+predict, write predictions + retrievals + stats."""
+    from mmrp_tpu.data.dataset import ChestXRDataset, build_dataloader
+    from mmrp_tpu.serve.runner import build_demo_context
+
+    ctx = build_demo_context(run_dir)
+    predictor = ctx["predictor"]
+    run = Path(run_dir)
+    data = Path(data_dir)
+
+    records = json.loads((data / "records_cache.json").read_text())["records"]
+    ids = set(json.loads(
+        (data / "splits" / f"{split}_ids.json").read_text()))
+    recs = [r for r in records if r["id"] in ids]
+    from mmrp_tpu.config import Config
+
+    cfg_path = run / "config.yaml"
+    cfg = Config.load(str(cfg_path)) if cfg_path.exists() else Config()
+    ds = ChestXRDataset(recs, ctx["tokenizer"], max_length=cfg.text_dim,
+                        image_size=cfg.image_size)
+    loader = build_dataloader(ds, batch_size or cfg.batch_size, shuffle=False,
+                              num_workers=2)
+
+    pipe = StreamingPipeline(
+        predictor.model, predictor.params, predictor.retriever,
+        predictor.label_names, predictor.threshold, K=K,
+    )
+    outp = Path(out_dir) if out_dir else run / f"stream_{split}"
+    outp.mkdir(parents=True, exist_ok=True)
+    with (outp / "predictions.jsonl").open("w") as fh:
+        for res in pipe.run(loader):
+            for b, rid in enumerate(res["ids"] or []):
+                row = {
+                    "id": rid,
+                    "predicted": res["predicted"][b],
+                    "probs": [round(float(p), 5) for p in res["probs"][b]],
+                }
+                if "retrieval" in res:
+                    row["retrieval"] = res["retrieval"][b]
+                fh.write(json.dumps(row) + "\n")
+    (outp / "stream_stats.json").write_text(json.dumps(pipe.stats, indent=1))
+    return pipe.stats

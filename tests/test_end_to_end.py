@@ -167,3 +167,17 @@ def test_data_cli_and_training_pipeline(fixture_dirs, tmp_path_factory):
             assert "retrieval_diversity" in payload
     finally:
         server.shutdown()
+
+    # ---- streaming batch pipeline over the test split (BASELINE #5) -------
+    rc = cli_main([
+        "stream", "--run-dir", str(out / "train"), "--data", str(out),
+        "--split", "test", "-k", "3", "--batch-size", "4",
+    ])
+    assert rc == 0
+    stream_dir = out / "train" / "stream_test"
+    stats = json.loads((stream_dir / "stream_stats.json").read_text())
+    assert stats["pairs"] > 0 and stats["pairs_per_sec"] > 0
+    rows = [json.loads(l) for l in
+            (stream_dir / "predictions.jsonl").read_text().splitlines()]
+    assert len(rows) == stats["pairs"]
+    assert all("probs" in r and "retrieval" in r for r in rows)
