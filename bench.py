@@ -207,7 +207,8 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     for side, key in (("BENCH_TRAIN.json", "train_step"),
                       ("BENCH_FLAGSHIP.json", "flagship_embed"),
-                      ("BENCH_EXPLAIN.json", "explain")):
+                      ("BENCH_EXPLAIN.json", "explain"),
+                      ("BENCH_STREAM.json", "stream")):
         p = os.path.join(here, side)
         if os.path.exists(p):
             try:

@@ -136,7 +136,16 @@ class Config:
     bench_text_len: int = 128           # static text length used for benchmarks
     gallery_shard_axis: str = "dp"
     use_pallas_attention: bool = True
+    # TRAINING attention path. Measured (BENCH_TRAIN b128_mu vs b128_mu_xla,
+    # back-to-back): plain-XLA autodiff beats the Pallas kernels' custom-VJP
+    # forward-recompute by +11.5% step throughput — the kernels' forward win
+    # cannot cover the extra forward pass the VJP recomputes
+    # (docs/ROOFLINE.md §7). Serving keeps use_pallas_attention.
+    train_use_pallas_attention: bool = False
     remat_backbone: bool = False
+    adam_mu_bf16: bool = True           # Adam first moment in bf16 (halves
+    #   the m read/write HBM traffic of the memory-bound optimizer update;
+    #   v stays f32 — see train/state.py::make_optimizer)
     # serving precision: "none" = bf16; "int8" = the measured-optimum W8A8
     # mix (fusion stack + BERT in-kernel/FFN int8, Swin bf16 — ops/quant.py,
     # fidelity gates in tests/test_quant_model.py). Inference-only: training

@@ -52,6 +52,9 @@ class MultiModalConfig:
     drop_path: float = 0.1
     max_text_len: int = 512
     quant: str = "none"  # "int8": W8A8 GEMMs in the fusion stack (serving)
+    remat_fusion: bool = False  # jax.checkpoint per fusion layer (the
+    #   stack's (B, Np+Lt+1, joint_dim) activations dominate big-batch
+    #   training memory alongside the backbones)
 
     @staticmethod
     def from_config(cfg: Config, num_classes: int = 43, flagship: bool = False,
@@ -81,22 +84,26 @@ class MultiModalConfig:
             vision_backbone = "swin"
         tq = "int8_kernel" if getattr(cfg, "serve_quant", "none") == "int8" \
             else "none"
+        # one knob remats all three heavy towers (Swin blocks, BERT layers,
+        # fusion stack) — big-batch training trades FLOPs for activation HBM
+        rm = bool(cfg.remat_backbone)
         if text_override is not None:
             import dataclasses
 
-            text = dataclasses.replace(text_override, quant=tq)
+            text = dataclasses.replace(text_override, quant=tq, remat=rm)
         elif flagship:
-            text = TextConfig.clinicalbert(quant=tq)
+            text = TextConfig.clinicalbert(quant=tq, remat=rm)
         elif "micro" in cfg.image_backbone:
             text = TextConfig.small(
                 hidden_dim=32, num_layers=1, num_heads=2, intermediate_dim=64,
-                quant=tq,
+                quant=tq, remat=rm,
             )
         else:
-            text = TextConfig.small(quant=tq)
+            text = TextConfig.small(quant=tq, remat=rm)
         return MultiModalConfig(
             swin=swin,
             text=text,
+            remat_fusion=rm,
             vision_backbone=vision_backbone,
             joint_dim=cfg.joint_dim,
             num_fusion_layers=cfg.num_fusion_layers,
@@ -420,9 +427,15 @@ class MultiModalRetrievalModel(nn.Module):
                 (jnp.arange(P) < Np).astype(jnp.int32)[None], (B, P))
 
         attn_maps = []
+        # static_argnums: module instance is arg 0; the Python bools
+        # `deterministic` (5) and `need_attn` (6) steer trace-time branches
+        layer_cls = (
+            nn.remat(FusionLayer, static_argnums=(5, 6))
+            if cfg.remat_fusion else FusionLayer
+        )
         for i in range(cfg.num_fusion_layers):
             dp = cfg.drop_path * i / max(cfg.num_fusion_layers - 1, 1)
-            pooled, attn = FusionLayer(
+            pooled, attn = layer_cls(
                 cfg,
                 drop_path=dp,
                 shared_ffn=shared_ffn,
@@ -430,7 +443,7 @@ class MultiModalRetrievalModel(nn.Module):
                 num_patches_real=Np,
                 name=f"fusion_layer{i}",
             )(img_patches_f, img_global, txt_tokens, txt_mask, deterministic,
-              need_attn=return_attention, img_mask=img_mask)
+              return_attention, img_mask)
             joint = nn.LayerNorm(dtype=self.dtype, name=f"joint_norm{i}")(joint + pooled)
             if return_attention:
                 attn_maps.append(attn)

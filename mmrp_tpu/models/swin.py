@@ -410,8 +410,13 @@ class PatchMerging(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, C) -> (B, H/2, W/2, 2C)
+    def __call__(self, x):  # (B, H, W, C) -> (B, ceil(H/2), ceil(W/2), 2C)
         B, H, W, C = x.shape
+        if H % 2 or W % 2:
+            # odd resolutions (small test configs) pad like timm's Swin;
+            # production 224px never merges at an odd size
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+            B, H, W, C = x.shape
         x = x.reshape(B, H // 2, 2, W // 2, 2, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
         x = nn.LayerNorm(dtype=self.dtype)(x)
@@ -435,16 +440,29 @@ class SwinEncoder(nn.Module):
         dpr = np.linspace(0.0, cfg.drop_path_rate, total_blocks)
         block_idx = 0
         dim = cfg.embed_dim
-        block_cls = nn.remat(SwinBlock) if cfg.remat else SwinBlock
+        # static_argnums counts the module instance as arg 0, so
+        # `deterministic` (a Python bool steering dropout branches) is 2 —
+        # without this, remat traces it and `if deterministic` fails.
+        block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if cfg.remat else SwinBlock
         for stage, depth in enumerate(cfg.depths):
             stage_pallas = cfg.use_pallas if cfg.pallas_stages is None \
                 else bool(cfg.pallas_stages[stage])
+            # clamp the window to the stage resolution (timm does the same
+            # when input_resolution <= window_size — small test configs);
+            # production 224px resolutions are all multiples of 7
+            ws = min(cfg.window_size, res)
+            if res % ws:
+                raise ValueError(
+                    f"stage {stage}: resolution {res} not divisible by "
+                    f"window {ws} — pick img_size/depths whose per-stage "
+                    f"maps are window-aligned"
+                )
             for blk in range(depth):
                 x = block_cls(
                     dim=dim,
                     num_heads=cfg.num_heads[stage],
-                    window_size=cfg.window_size,
-                    shift=0 if blk % 2 == 0 else cfg.window_size // 2,
+                    window_size=ws,
+                    shift=0 if blk % 2 == 0 else ws // 2,
                     input_resolution=(res, res),
                     mlp_ratio=cfg.mlp_ratio,
                     drop_path=float(dpr[block_idx]),
@@ -458,7 +476,7 @@ class SwinEncoder(nn.Module):
             if stage < len(cfg.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"merge{stage}")(x)
                 dim *= 2
-                res //= 2
+                res = (res + 1) // 2  # PatchMerging pads odd sizes
 
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         B, H, W, C = x.shape

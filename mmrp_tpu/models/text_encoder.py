@@ -39,6 +39,7 @@ class TextConfig:
     # "int8_kernel" = int8 GEMMs INSIDE the fused attention kernel + W8A8
     # FFN. Pick by measurement — see tools/ab_bench.py bert variants.
     quant: str = "none"
+    remat: bool = False  # jax.checkpoint per layer: FLOPs for activation mem
 
     @staticmethod
     def clinicalbert(**kw) -> "TextConfig":
@@ -241,8 +242,11 @@ class TextEncoder(nn.Module):
         # (B, Lk) ADDITIVE key mask (0 valid / -1e9 pad) — the compact form
         # both the fused kernel and the XLA path consume
         key_mask = jnp.where(attention_mask > 0, 0.0, -1e9).astype(jnp.float32)
+        # static_argnums: module instance is arg 0, `deterministic` is 3
+        layer_cls = nn.remat(BertLayer, static_argnums=(3,)) if cfg.remat \
+            else BertLayer
         for i in range(cfg.num_layers):
-            x = BertLayer(cfg, dtype=self.dtype, name=f"layer{i}")(
+            x = layer_cls(cfg, dtype=self.dtype, name=f"layer{i}")(
                 x, key_mask, deterministic
             )
         return {"tokens": x, "cls": x[:, 0, :]}

@@ -155,11 +155,20 @@ class RetrievalEngine:
 
     # -- retrieval ---------------------------------------------------------------
 
-    def retrieve_batch(
-        self, queries: np.ndarray, k: int = 10
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """(Q, D) -> (scores (Q, k), indices (Q, k)) over the gallery."""
-        q = l2_normalize(np.asarray(queries, dtype=np.float32))
+    def retrieve_batch_device(
+        self, queries_dev: jnp.ndarray, k: int = 10
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Device (Q, D) -> DEVICE (scores (Q, kk), indices (Q, kk)).
+
+        No host sync: normalization runs in-graph, so a pipelined caller
+        (serve/stream.py) can dispatch retrieval for batch i+1 before
+        materializing batch i. Pair with ``finalize_batch`` for the
+        padding-row cleanup that ``retrieve_batch`` applies.
+        """
+        qf = queries_dev.astype(jnp.float32)
+        q = qf / jnp.maximum(
+            jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-8
+        )
         g = self._gallery_on_device()
         kk = min(k, self._n_real)
         if self.mesh is not None:
@@ -167,10 +176,15 @@ class RetrievalEngine:
                 self._sharded_topk_cache[kk] = make_sharded_topk(
                     self.mesh, self.shard_axis, kk
                 )
-            q_dev = jax.device_put(q, NamedSharding(self.mesh, P()))
-            s, i = self._sharded_topk_cache[kk](q_dev, g)
-        else:
-            s, i = topk_single(jnp.asarray(q), g, kk)
+            q = jax.device_put(q, NamedSharding(self.mesh, P()))
+            return self._sharded_topk_cache[kk](q, g)
+        return topk_single(q, g, kk)
+
+    def finalize_batch(
+        self, s: jnp.ndarray, i: jnp.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Materialize device top-K results; mask gallery padding rows."""
+        kk = min(s.shape[1], self._n_real)
         s, i = np.asarray(s), np.asarray(i)
         # padding rows (zero vectors) score 0; with k <= N they only appear
         # when the gallery is tiny — mask them to -inf and drop via re-sort
@@ -181,6 +195,14 @@ class RetrievalEngine:
             s = np.take_along_axis(s, order, axis=1)
             i = np.take_along_axis(i, order, axis=1)
         return s[:, :kk], i[:, :kk]
+
+    def retrieve_batch(
+        self, queries: np.ndarray, k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(Q, D) -> (scores (Q, k), indices (Q, k)) over the gallery.
+        Normalization happens in-graph (retrieve_batch_device)."""
+        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        return self.finalize_batch(*self.retrieve_batch_device(q, k))
 
     def retrieve(
         self, query_emb: np.ndarray, K: int = 10, query_id: Optional[str] = None

@@ -68,12 +68,24 @@ class StreamingPipeline:
             jb = device_put_sharded_batch(jb, self.mesh)
         return jb
 
-    def process_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
-        """One batch -> probs, predicted label sets, joint embeddings,
-        top-K retrieval (when an engine is attached)."""
+    def _dispatch(self, batch: Dict[str, np.ndarray]):
+        """Enqueue the device work for one batch WITHOUT a host sync:
+        forward (probs + joint_emb) and, when an engine is attached, the
+        gallery top-K on the device-resident embeddings. Returns the batch
+        plus device futures for ``_finish`` to materialize."""
         jb = self._put(batch)
         out = self._fwd(self.params, jb["image"], jb["input_ids"],
                         jb["attention_mask"])
+        ret = (
+            self.engine.retrieve_batch_device(out["joint_emb"], self.K)
+            if self.engine is not None
+            else None
+        )
+        return batch, out, ret
+
+    def _finish(self, batch, out, ret) -> Dict[str, Any]:
+        """Materialize a dispatched batch: numpy conversion (the only host
+        sync), valid-row filtering, thresholded label sets, retrieval ids."""
         probs = np.asarray(out["probs"])
         emb = np.asarray(out["joint_emb"])
         keep = np.asarray(batch.get("valid", np.ones(probs.shape[0]))) > 0
@@ -90,23 +102,45 @@ class StreamingPipeline:
             ]
         else:
             result["predicted"] = [np.where(row)[0].tolist() for row in pred]
-        if self.engine is not None:
-            s, i = self.engine.retrieve_batch(emb[keep], k=self.K)
+        if ret is not None:
+            s, i = self.engine.finalize_batch(*ret)
+            s, i = s[keep], i[keep]
             result["retrieval"] = [
                 [(self.engine.ids[int(j)], float(sc)) for j, sc in zip(ri, rs)]
                 for ri, rs in zip(i, s)
             ]
         return result
 
+    def process_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """One batch -> probs, predicted label sets, joint embeddings,
+        top-K retrieval (when an engine is attached)."""
+        return self._finish(*self._dispatch(batch))
+
     def run(
-        self, loader: Iterable[Dict[str, np.ndarray]]
+        self, loader: Iterable[Dict[str, np.ndarray]], depth: int = 2
     ) -> Iterator[Dict[str, Any]]:
         """Stream the loader through the pipeline; yields per-batch results
-        and records throughput in ``self.stats`` at the end."""
+        and records throughput in ``self.stats`` at the end.
+
+        ``depth`` > 1 double-buffers: batch i+1's device work (forward +
+        gallery top-K) is dispatched BEFORE batch i's results are pulled to
+        the host, so the host-side materialization/tunnel latency overlaps
+        device compute (JAX dispatch is async). depth=1 reproduces the
+        strictly-serial behavior.
+        """
+        from collections import deque
+
         n = 0
+        pending: deque = deque()
         t0 = time.perf_counter()
         for batch in loader:
-            res = self.process_batch(batch)
+            pending.append(self._dispatch(batch))
+            if len(pending) >= max(1, depth):
+                res = self._finish(*pending.popleft())
+                n += len(res["probs"])
+                yield res
+        while pending:
+            res = self._finish(*pending.popleft())
             n += len(res["probs"])
             yield res
         dt = time.perf_counter() - t0
@@ -115,6 +149,7 @@ class StreamingPipeline:
             "wall_s": dt,
             "pairs_per_sec": n / dt if dt > 0 else 0.0,
             "retrieval": self.engine is not None,
+            "depth": depth,
             "mesh": str(self.mesh.shape) if self.mesh is not None else None,
         }
 

@@ -57,7 +57,11 @@ def init_train_state(
             jax.random.normal(s_rng, (joint_dim, kg_dim), jnp.float32)
             * (1.0 / np.sqrt(joint_dim))
         )
-    tx = make_optimizer(cfg.lr, total_steps)
+    tx = make_optimizer(
+        cfg.lr,
+        total_steps,
+        mu_dtype=jnp.bfloat16 if getattr(cfg, "adam_mu_bf16", False) else None,
+    )
     return TrainState.create(
         apply_fn=model.apply,
         params=params,

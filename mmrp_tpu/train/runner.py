@@ -216,7 +216,16 @@ def run_training_pipeline(
         )
 
     # ---- pretrained bootstrap (fusion.py:92-99, 313-325) -------------------
-    mm_cfg0 = MultiModalConfig.from_config(cfg, num_classes=len(LABEL_COLS),
+    # train-time model config: plain-XLA attention (measured faster than the
+    # Pallas custom-VJP recompute in training — Config.train_use_pallas_attention,
+    # docs/ROOFLINE.md §7). Serving rebuilds from config.yaml, which keeps
+    # the Pallas serving default; the params are interchangeable (same tree).
+    import dataclasses as _dc
+
+    train_cfg = _dc.replace(
+        cfg, use_pallas_attention=cfg.train_use_pallas_attention)
+    mm_cfg0 = MultiModalConfig.from_config(train_cfg,
+                                           num_classes=len(LABEL_COLS),
                                            flagship=flagship)
     text_override, bert_params, swin_pre_params = _load_pretrained_backbones(
         cfg, mm_cfg0.swin, tok
@@ -270,7 +279,8 @@ def run_training_pipeline(
         return np.zeros(node_emb.shape[1], np.float32), 0.0
 
     # ---- stage 3: joint model -----------------------------------------------
-    mm_cfg = MultiModalConfig.from_config(cfg, num_classes=len(LABEL_COLS),
+    mm_cfg = MultiModalConfig.from_config(train_cfg,
+                                          num_classes=len(LABEL_COLS),
                                           flagship=flagship,
                                           text_override=text_override)
     model = MultiModalRetrievalModel(mm_cfg)

@@ -32,9 +32,16 @@ def make_optimizer(
     warmup_frac: float = 0.1,
     weight_decay: float = 0.01,
     clip_norm: float = 1.0,
+    mu_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """AdamW + cosine schedule with linear warmup + global-norm clip 1.0
-    (reference train.py:517-523, grad clip train.py:598-601)."""
+    (reference train.py:517-523, grad clip train.py:598-601).
+
+    mu_dtype=bfloat16 halves the first-moment HBM traffic: the optimizer
+    update is memory-bound on this chip (~7 bytes moved per param per step
+    at f32 m/v), and Adam's m tolerates bf16 (v stays f32 — its dynamic
+    range matters for the rsqrt).
+    """
     warmup = max(1, int(total_steps * warmup_frac))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
@@ -45,5 +52,5 @@ def make_optimizer(
     )
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        optax.adamw(schedule, weight_decay=weight_decay),
+        optax.adamw(schedule, weight_decay=weight_decay, mu_dtype=mu_dtype),
     )

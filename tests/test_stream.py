@@ -117,3 +117,23 @@ def test_stream_sharded_gallery_on_mesh(micro):
     got = results[0]["retrieval"]
     for q in range(len(got)):
         assert [rid for rid, _ in got[q]] == [gal_ids[j] for j in i1[q]]
+
+
+def test_pipelined_depths_identical(micro):
+    """depth>1 (dispatch-ahead double buffering) must yield byte-identical
+    results to the strictly-serial depth=1 path, in the same order."""
+    model, params = micro
+    rng = np.random.default_rng(7)
+    gallery = rng.standard_normal((64, 32)).astype(np.float32)
+    eng = RetrievalEngine(gallery, [f"g{i}" for i in range(64)])
+    pipe = StreamingPipeline(model, params, eng,
+                             label_names=[f"c{i}" for i in range(5)],
+                             threshold=np.full(5, 0.4, np.float32), K=7)
+    serial = list(pipe.run(_batches(n_batches=5), depth=1))
+    piped = list(pipe.run(_batches(n_batches=5), depth=3))
+    assert len(serial) == len(piped) == 5
+    for a, b in zip(serial, piped):
+        np.testing.assert_array_equal(a["probs"], b["probs"])
+        assert a["ids"] == b["ids"]
+        assert a["predicted"] == b["predicted"]
+        assert a["retrieval"] == b["retrieval"]

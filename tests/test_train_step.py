@@ -130,3 +130,32 @@ def test_train_step_reduces_loss(rng):
         state, m = step(state, batch)
     assert float(m["loss/total"]) < float(m0["loss/total"])
     assert np.isfinite(float(m["grad_norm"]))
+
+
+def test_adam_mu_bf16_state_dtype_and_numerics(rng):
+    """Config.adam_mu_bf16 stores Adam's first moment in bf16 (halves its
+    HBM read/write in the memory-bound optimizer update) while keeping v in
+    f32; a short training run must track the f32-m run closely."""
+    import optax
+
+    from mmrp_tpu.train.state import make_optimizer
+
+    params = {"w": jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)}
+    target = jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)
+
+    def run(mu_dtype, steps=10):
+        tx = make_optimizer(1e-2, total_steps=100, mu_dtype=mu_dtype)
+        opt_state = tx.init(params)
+        p = params
+        for _ in range(steps):
+            g = jax.grad(lambda q: ((q["w"] - target) ** 2).mean())(p)
+            upd, opt_state = tx.update(g, opt_state, p)
+            p = optax.apply_updates(p, upd)
+        return p, opt_state
+
+    p32, _ = run(None)
+    pbf, st = run(jnp.bfloat16)
+    mus = [x for x in jax.tree.leaves(st) if hasattr(x, "dtype")]
+    assert any(x.dtype == jnp.bfloat16 for x in mus)
+    np.testing.assert_allclose(np.asarray(p32["w"]), np.asarray(pbf["w"]),
+                               rtol=0.0, atol=3e-3)

@@ -1,13 +1,28 @@
-"""Train-step throughput bench: pairs/sec/chip through the FULL training
+"""Train-step throughput sweep: pairs/sec/chip through the FULL training
 step (forward + all losses + backward + optimizer), chained.
 
 Chaining is inherent here — step i+1 consumes step i's updated TrainState —
 so the tunnel's dispatch deduplication cannot inflate the number (see
 bench.py docstring for why naive timing over-reports).
 
-Writes BENCH_TRAIN.json; bench.py merges it into BENCH_DETAILS.json.
-Env knobs: BENCH_BATCH, BENCH_TEXT_LEN, BENCH_PALLAS, BENCH_SWIN
-(tiny|base), BENCH_ITERS.
+Runs a SWEEP of variants in one process (one tunnel-compile budget per
+variant, but only one process — CLAUDE.md: batch TPU decisions so each
+costs one process). Variant spec string, comma-separated:
+
+    b{batch}[_mu][_remat]     e.g.  b64,b64_mu,b128_mu,b256_mu_remat
+
+    _mu    = Adam first moment in bf16 (train/state.py::make_optimizer)
+    _remat = jax.checkpoint per Swin block (SwinConfig.remat)
+
+The chain is jitted with donate_argnums=0: the carried TrainState
+(params + Adam m/v, ~GBs at ClinicalBERT scale) would otherwise be held
+twice (input + output), which is what OOM'd the profiler at batch<=32.
+
+Writes all rows (and per-variant errors) to BENCH_TRAIN.json; bench.py
+merges it into BENCH_DETAILS.json. Env knobs: BENCH_VARIANTS,
+BENCH_TEXT_LEN, BENCH_PALLAS, BENCH_SWIN (tiny|base), BENCH_ITERS,
+AB_TRACE=<variant-name> (per-op trace after that variant's timing),
+AB_TRACE_DIR.
 """
 
 from __future__ import annotations
@@ -22,14 +37,29 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+OUT = Path(__file__).resolve().parent.parent / "BENCH_TRAIN.json"
 
-def main() -> None:
+
+def parse_variant(spec: str):
+    parts = spec.strip().split("_")
+    assert parts[0].startswith("b"), f"bad variant {spec!r}"
+    return {
+        "name": spec.strip(),
+        "batch": int(parts[0][1:]),
+        "mu_bf16": "mu" in parts[1:],
+        "remat": "remat" in parts[1:],
+        # _xla: plain-XLA attention in training. The Pallas kernels' custom
+        # VJPs recompute the XLA forward for the backward (fwd_pallas +
+        # ~3x fwd_xla total) vs plain autodiff storing intermediates
+        # (~3x fwd_xla + activation HBM) — which wins is an empirical
+        # question per batch size.
+        "xla": "xla" in parts[1:],
+    }
+
+
+def run_variant(v, *, swin_name, text_len, iters, use_pallas, on_tpu, trace):
     import jax
     import jax.numpy as jnp
-
-    from bench import setup_compile_cache
-
-    setup_compile_cache()
 
     from mmrp_tpu.config import Config
     from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
@@ -37,30 +67,30 @@ def main() -> None:
     from mmrp_tpu.models.text_encoder import TextConfig
     from mmrp_tpu.train.joint import compute_losses, init_train_state
 
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-    batch = int(os.environ.get("BENCH_BATCH", "64" if on_tpu else "2"))
-    text_len = int(os.environ.get("BENCH_TEXT_LEN", "64"))
-    iters = int(os.environ.get("BENCH_ITERS", "10" if on_tpu else "2"))
-    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    swin_name = os.environ.get("BENCH_SWIN", "tiny")
+    batch = v["batch"]
     img = 224 if on_tpu else 56
-
     swin = (SwinConfig.base if swin_name == "base" else SwinConfig.tiny)(
-        use_pallas=use_pallas,
-        img_size=img,
+        use_pallas=use_pallas and not v["xla"], img_size=img,
+        remat=v["remat"],
     )
+    # _remat remats all three heavy towers (Swin blocks, BERT layers,
+    # fusion stack)
+    text_cfg = (TextConfig.clinicalbert(remat=v["remat"]) if on_tpu
+                else TextConfig.small(remat=v["remat"]))
     mm_cfg = MultiModalConfig(
         swin=swin,
-        text=TextConfig.clinicalbert() if on_tpu else TextConfig.small(),
+        text=text_cfg,
         joint_dim=1024 if on_tpu else 64,
         num_fusion_layers=5 if on_tpu else 1,
         num_heads=8 if on_tpu else 2,
         num_classes=43,
         max_text_len=text_len,
+        remat_fusion=v["remat"],
     )
-    model = MultiModalRetrievalModel(mm_cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
-    cfg = Config(batch_size=batch, epochs=1)
+    model = MultiModalRetrievalModel(
+        mm_cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32
+    )
+    cfg = Config(batch_size=batch, epochs=1, adam_mu_bf16=v["mu_bf16"])
 
     rng = np.random.default_rng(0)
     kg_dim = 300
@@ -75,11 +105,12 @@ def main() -> None:
         "kg_target": rng.standard_normal((batch, kg_dim)).astype(np.float32),
         "kg_target_valid": np.ones((batch,), np.float32),
     }
-    batch_dev = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    batch_dev = {k: jnp.asarray(v_) for k, v_ in batch_np.items()}
     state = init_train_state(
         model, cfg, jax.random.PRNGKey(0), batch_dev, total_steps=1000,
         kg_dim=kg_dim,
     )
+    params_m = sum(x.size for x in jax.tree.leaves(state.params)) / 1e6
     pw = jnp.ones((43,), jnp.float32)
 
     def one_step(st, _):
@@ -91,48 +122,109 @@ def main() -> None:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
         return st.apply_gradients(grads=grads), metrics["loss/total"]
 
-    @jax.jit
-    def chain(st):
+    def chain_fn(st):
         st, losses = jax.lax.scan(one_step, st, None, length=iters)
         return st, losses[-1]
 
+    # donate the carried state: params + Adam m/v held once, not twice
+    chain = jax.jit(chain_fn, donate_argnums=0)
+
     t0 = time.perf_counter()
-    state2, loss = jax.block_until_ready(chain(state))
+    state2, loss = jax.block_until_ready(chain(state))  # donates `state`
     loss = float(loss)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    _, loss2 = chain(state2)
+    state3, loss2 = chain(state2)  # donates `state2`
     loss2 = float(loss2)  # scalar fetch forces the whole chain
     dt = time.perf_counter() - t0
 
-    if os.environ.get("AB_TRACE"):
-        # per-op attribution of the train step (same aggregation as
-        # tools/ab_bench.py) — VERDICT r2 #4: trace the step like the embed
-        # path was traced
-        from ab_bench import _dump_trace  # tools/ is on sys.path when run as a script
-
-        trace_dir = os.environ.get("AB_TRACE_DIR", "/tmp/train_trace")
-        with jax.profiler.trace(trace_dir):
-            _, l3 = chain(state2)
-            float(l3)
-        _dump_trace(trace_dir, iters, top=40)
-
-    result = {
-        "metric": f"train_pairs_per_sec_per_chip(swin_{swin_name},L{text_len},"
-        f"{'pallas' if use_pallas else 'xla'})",
-        "backend": backend,
+    row = {
         "batch": batch,
+        "mu_bf16": v["mu_bf16"],
+        "remat": v["remat"],
         "iters": iters,
         "step_ms": dt / iters * 1e3,
         "train_pairs_per_sec": batch * iters / dt,
         "loss_first": loss,
         "loss_second": loss2,
         "compile_s": compile_s,
-        "method": "chained TrainState scan, scalar fetch",
+        "params_m": round(params_m, 1),
     }
-    out = Path(__file__).resolve().parent.parent / "BENCH_TRAIN.json"
-    out.write_text(json.dumps(result, indent=1))
+
+    if trace:
+        # per-op attribution (same aggregation as tools/ab_bench.py) — AFTER
+        # the timing so the record survives a profiler OOM.
+        from ab_bench import _dump_trace  # tools/ on sys.path as a script
+
+        trace_dir = os.environ.get("AB_TRACE_DIR", "/tmp/train_trace")
+        with jax.profiler.trace(trace_dir):
+            _, l3 = chain(state3)
+            float(l3)
+        _dump_trace(trace_dir, iters, top=40)
+    return row
+
+
+def main() -> None:
+    import jax
+
+    from bench import setup_compile_cache
+
+    setup_compile_cache()
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    text_len = int(os.environ.get("BENCH_TEXT_LEN", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "10" if on_tpu else "2"))
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    swin_name = os.environ.get("BENCH_SWIN", "tiny")
+    default_variants = (
+        "b64,b64_mu,b128_mu,b256_mu_remat" if on_tpu else "b2,b2_mu_remat"
+    )
+    specs = os.environ.get("BENCH_VARIANTS", default_variants)
+    trace_variant = os.environ.get("AB_TRACE", "")
+
+    result = {
+        "metric": f"train_pairs_per_sec_per_chip(swin_{swin_name},L{text_len},"
+        f"{'pallas' if use_pallas else 'xla'})",
+        "backend": backend,
+        "method": "chained donated TrainState scan, scalar fetch",
+        "rows": {},
+    }
+    if OUT.exists():  # merge with earlier sweeps' rows (same backend only)
+        try:
+            prev = json.loads(OUT.read_text())
+            if prev.get("backend") == backend:
+                result["rows"].update(prev.get("rows", {}))
+        except (OSError, ValueError):
+            pass
+    for spec in specs.split(","):
+        v = parse_variant(spec)
+        try:
+            row = run_variant(
+                v,
+                swin_name=swin_name,
+                text_len=text_len,
+                iters=iters,
+                use_pallas=use_pallas,
+                on_tpu=on_tpu,
+                trace=(v["name"] == trace_variant),
+            )
+        except Exception as e:  # noqa: BLE001 — record OOMs, keep sweeping
+            row = {"error": repr(e)[:300]}
+        result["rows"][v["name"]] = row
+        best = max(
+            (r for r in result["rows"].values() if "train_pairs_per_sec" in r),
+            key=lambda r: r["train_pairs_per_sec"],
+            default=None,
+        )
+        if best:
+            result["best_train_pairs_per_sec"] = best["train_pairs_per_sec"]
+            result["best_step_ms"] = best["step_ms"]
+            result["best_batch"] = best["batch"]
+        OUT.write_text(json.dumps(result, indent=1))  # survive later OOMs
+        print(json.dumps({v["name"]: row}), flush=True)
+
     print(json.dumps(result, indent=1))
 
 
