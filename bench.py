@@ -206,6 +206,7 @@ def main() -> None:
     # and the Swin-B flagship embed (BENCH_FLAGSHIP=1 runs of this file)
     here = os.path.dirname(os.path.abspath(__file__))
     for side, key in (("BENCH_TRAIN.json", "train_step"),
+                      ("BENCH_TRAIN_FLAGSHIP.json", "train_step_flagship"),
                       ("BENCH_FLAGSHIP.json", "flagship_embed"),
                       ("BENCH_EXPLAIN.json", "explain"),
                       ("BENCH_STREAM.json", "stream")):

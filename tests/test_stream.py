@@ -137,3 +137,46 @@ def test_pipelined_depths_identical(micro):
         assert a["ids"] == b["ids"]
         assert a["predicted"] == b["predicted"]
         assert a["retrieval"] == b["retrieval"]
+
+
+def test_compact_u8_ingestion_matches_host_math(micro):
+    """uint8 windowed pixels finished on device must equal the f32 path fed
+    the identical host-computed normalization ((u8/255 - .5)/.5, 3-channel)."""
+    model, params = micro
+    pipe = StreamingPipeline(model, params)
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (3, 28, 28)).astype(np.uint8)
+    f32 = ((u8.astype(np.float32) / 255.0 - 0.5) / 0.5)[..., None].repeat(3, -1)
+    ids = rng.integers(0, 64, (3, 8)).astype(np.int32)
+    mask = np.ones((3, 8), np.int32)
+    ru8 = pipe.process_batch(
+        {"image": u8, "input_ids": ids, "attention_mask": mask})
+    rf32 = pipe.process_batch(
+        {"image": f32, "input_ids": ids, "attention_mask": mask})
+    np.testing.assert_allclose(ru8["probs"], rf32["probs"], atol=1e-5)
+    np.testing.assert_allclose(ru8["joint_emb"], rf32["joint_emb"], atol=1e-4)
+
+
+def test_compact_u16_window_ingestion_matches_host_math(micro):
+    """uint16 raw + per-sample window finished on device must equal the f32
+    path fed the host-side window/normalize (ops/preprocess.py math)."""
+    model, params = micro
+    pipe = StreamingPipeline(model, params)
+    rng = np.random.default_rng(8)
+    raw = rng.integers(0, 4096, (2, 28, 28)).astype(np.uint16)
+    wc = np.array([1800.0, 2100.0], np.float32)
+    ww = np.array([1200.0, 900.0], np.float32)
+    lower, upper = wc - ww / 2, wc + ww / 2
+    x = np.clip(raw.astype(np.float32), lower[:, None, None],
+                upper[:, None, None])
+    x = (x - lower[:, None, None]) / (upper - lower)[:, None, None]
+    f32 = ((x - 0.5) / 0.5)[..., None].repeat(3, -1).astype(np.float32)
+    ids = rng.integers(0, 64, (2, 8)).astype(np.int32)
+    mask = np.ones((2, 8), np.int32)
+    r16 = pipe.process_batch(
+        {"image": raw, "input_ids": ids, "attention_mask": mask,
+         "window_center": wc, "window_width": ww})
+    rf32 = pipe.process_batch(
+        {"image": f32, "input_ids": ids, "attention_mask": mask})
+    np.testing.assert_allclose(r16["probs"], rf32["probs"], atol=1e-5)
+    np.testing.assert_allclose(r16["joint_emb"], rf32["joint_emb"], atol=1e-4)

@@ -53,6 +53,8 @@ def main() -> None:
         except ValueError:
             existing = {}
     key = f"{row['swin']}_L{text_len}_{row['attention_path']}"
+    if row["quant"] not in ("int8",):  # historical rows were all int8-serve
+        key += f"_{row['quant']}"
     existing[key] = row
     out.write_text(json.dumps(existing, indent=1))
     print(json.dumps(row, indent=1))

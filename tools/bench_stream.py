@@ -70,11 +70,20 @@ def main() -> None:
     pipe = StreamingPipeline(model, params["params"], engine, label_names,
                              thresholds, K=10)
 
+    # dtype of the streamed image tensor: f32 = model-ready NHWC (77 MB per
+    # batch-128 — measured link-bound through the tunnel), u8 = windowed
+    # pixels finished on device (6.4 MB, serve/stream.py compact ingestion)
+    dtype = os.environ.get("STREAM_DTYPE", "u8")
+
     def make_loader(n, seed0):
         for b in range(n):
             r = np.random.default_rng(seed0 + b)
+            if dtype == "u8":
+                image = r.integers(0, 256, (batch, img, img)).astype(np.uint8)
+            else:
+                image = r.random((batch, img, img, 3), dtype=np.float32)
             yield {
-                "image": r.random((batch, img, img, 3), dtype=np.float32),
+                "image": image,
                 "input_ids": r.integers(
                     0, cfg.text.vocab_size, (batch, text_len)
                 ).astype(np.int32),
@@ -88,6 +97,7 @@ def main() -> None:
         pass
     compile_s = time.perf_counter() - t0
 
+    out = Path(__file__).resolve().parent.parent / "BENCH_STREAM.json"
     result = {
         "metric": f"stream_pairs_per_sec_per_chip(swin_{swin_name},"
         f"L{text_len},quant={os.environ.get('BENCH_QUANT', 'int8')})",
@@ -101,19 +111,29 @@ def main() -> None:
         "materialization; distinct data per batch, every result fetched",
         "rows": {},
     }
+    if out.exists():  # merge earlier dtype/depth rows (same backend only)
+        try:
+            prev = json.loads(out.read_text())
+            if prev.get("backend") == backend:
+                result["rows"].update(prev.get("rows", {}))
+        except (OSError, ValueError):
+            pass
+    bytes_per_batch = (batch * img * img * (1 if dtype == "u8" else 12)
+                       + batch * text_len * 8)
     for depth in (1, 2, 4):
         checksum = 0.0
         for res in pipe.run(make_loader(n_batches, 2000), depth=depth):
             checksum += float(res["probs"].mean())
         row = dict(pipe.stats)
         row["probs_mean_checksum"] = checksum / n_batches
-        result["rows"][f"depth{depth}"] = row
-        print(json.dumps({f"depth{depth}": row}), flush=True)
-
-    best = max(result["rows"].values(), key=lambda r: r["pairs_per_sec"])
-    result["best_pairs_per_sec"] = best["pairs_per_sec"]
-    out = Path(__file__).resolve().parent.parent / "BENCH_STREAM.json"
-    out.write_text(json.dumps(result, indent=1))
+        row["image_dtype"] = dtype
+        row["host_to_device_mb_per_batch"] = round(bytes_per_batch / 1e6, 2)
+        result["rows"][f"{dtype}_depth{depth}"] = row
+        result["best_pairs_per_sec"] = max(
+            r["pairs_per_sec"] for r in result["rows"].values()
+        )
+        out.write_text(json.dumps(result, indent=1))
+        print(json.dumps({f"{dtype}_depth{depth}": row}), flush=True)
     print(json.dumps(result, indent=1))
 
 

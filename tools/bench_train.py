@@ -37,7 +37,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-OUT = Path(__file__).resolve().parent.parent / "BENCH_TRAIN.json"
+OUT = Path(__file__).resolve().parent.parent / os.environ.get(
+    "BENCH_TRAIN_OUT", "BENCH_TRAIN.json"
+)  # flagship (BENCH_SWIN=base) sweeps write BENCH_TRAIN_FLAGSHIP.json so
+#    the Swin-T and Swin-B row tables don't mix
 
 
 def parse_variant(spec: str):
