@@ -69,14 +69,10 @@ def _conclusion(deltas, noise=0.002) -> str:
     return "Replacing the walk with exact top-K: " + "; ".join(parts) + "."
 
 
-def main() -> None:
-    # metric equivalence is backend-independent; default to the host CPU so
-    # the latency column reflects engine cost, not tunnel round-trips
-    if os.environ.get("DLS_STUDY_CPU", "1") == "1":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
+def compare_engines(g_emb, g_ids, g_lab, q_emb, q_ids, q_lab, k=10):
+    """Run BOTH engines (exact sharded top-K vs the reference-faithful DLS
+    walk, reference defaults) on one gallery + label-overlap GT. Returns the
+    full report dict shared by the synthetic and trained-gallery studies."""
     from mmrp_tpu.eval.gt import build_label_overlap_gt
     from mmrp_tpu.eval.retrieval_eval import evaluate_gallery
     from mmrp_tpu.retrieval.dls import DLSRetrievalEngine
@@ -84,19 +80,7 @@ def main() -> None:
 
     import jax
 
-    n = int(os.environ.get("N_GALLERY", "8000"))
-    q = int(os.environ.get("N_QUERY", "400"))
-    dim = int(os.environ.get("DIM", "1024"))
-    k = int(os.environ.get("K", "10"))
-    rng = np.random.default_rng(2709)
-
-    prevalence, basis = make_label_space(rng, dim)
-    g_emb, g_lab = synth_records(rng, n, prevalence, basis)
-    q_emb, q_lab = synth_records(rng, q, prevalence, basis)
-    g_ids = [f"g{i}" for i in range(n)]
-    q_ids = [f"q{i}" for i in range(q)]
     gt = build_label_overlap_gt(q_ids, q_lab, g_ids, g_lab)
-
     exact = RetrievalEngine(g_emb, g_ids)
     dls = DLSRetrievalEngine(
         g_emb, g_ids, max_links=10, link_threshold=0.3,
@@ -118,8 +102,9 @@ def main() -> None:
         jac.append(len(e & d) / max(len(e | d), 1))
         recall.append(len(e & d) / max(len(e), 1))
 
-    report = {
-        "config": {"n_gallery": n, "n_query": q, "dim": dim, "k": k,
+    return {
+        "config": {"n_gallery": len(g_ids), "n_query": len(q_ids),
+                   "dim": int(g_emb.shape[1]), "k": k,
                    "backend": jax.default_backend()},
         "exact": m_exact,
         "dls": m_dls,
@@ -133,14 +118,50 @@ def main() -> None:
         },
         "wall_s": {"exact": t_exact, "dls": t_dls},
     }
-    docs = Path(__file__).resolve().parent.parent / "docs"
-    docs.mkdir(exist_ok=True)
-    (docs / "dls_equivalence.json").write_text(json.dumps(report, indent=1))
+
+
+def metric_table(report) -> str:
+    k = report["config"]["k"]
 
     def row(name, m):
         return (f"| {name} | {m[f'P@{k}']:.4f} | {m[f'R@{k}']:.4f} | "
                 f"{m['mAP']:.4f} | {m['MRR']:.4f} | {m[f'nDCG@{k}']:.4f} | "
                 f"{m['avg_ms']:.2f} | {m['p50_ms']:.2f} |")
+
+    return (
+        f"| engine | P@{k} | R@{k} | mAP | MRR | nDCG@{k} | avg ms/q | p50 ms/q |\n"
+        "|---|---|---|---|---|---|---|---|\n"
+        f"{row('exact', report['exact'])}\n"
+        f"{row('dls', report['dls'])}"
+    )
+
+
+def main() -> None:
+    # metric equivalence is backend-independent; default to the host CPU so
+    # the latency column reflects engine cost, not tunnel round-trips
+    if os.environ.get("DLS_STUDY_CPU", "1") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    n = int(os.environ.get("N_GALLERY", "8000"))
+    q = int(os.environ.get("N_QUERY", "400"))
+    dim = int(os.environ.get("DIM", "1024"))
+    k = int(os.environ.get("K", "10"))
+    rng = np.random.default_rng(2709)
+
+    prevalence, basis = make_label_space(rng, dim)
+    g_emb, g_lab = synth_records(rng, n, prevalence, basis)
+    q_emb, q_lab = synth_records(rng, q, prevalence, basis)
+    g_ids = [f"g{i}" for i in range(n)]
+    q_ids = [f"q{i}" for i in range(q)]
+
+    report = compare_engines(g_emb, g_ids, g_lab, q_emb, q_ids, q_lab, k=k)
+    jac = report["set_agreement"]["mean_jaccard@k"]
+    recall = report["set_agreement"]["mean_recall_of_exact_topk"]
+    docs = Path(__file__).resolve().parent.parent / "docs"
+    docs.mkdir(exist_ok=True)
+    (docs / "dls_equivalence.json").write_text(json.dumps(report, indent=1))
 
     d = report["delta_exact_minus_dls"]
     md = f"""# DLS vs exact retrieval: metric equivalence study
@@ -158,24 +179,21 @@ parameters are the reference defaults (max_links=10, threshold=0.3,
 seed_size=5, max_steps=100, heap_mult=10; per-query seeded RNG).
 Reproduce: `python tools/dls_equivalence.py`.
 
-| engine | P@{k} | R@{k} | mAP | MRR | nDCG@{k} | avg ms/q | p50 ms/q |
-|---|---|---|---|---|---|---|---|
-{row('exact', m_exact)}
-{row('dls', m_dls)}
+{metric_table(report)}
 
 **Deltas (exact - dls)**: {json.dumps({kk: round(v, 4) for kk, v in d.items()})}
 
-**Retrieved-set agreement**: mean Jaccard@{k} = {np.mean(jac):.4f}; the walk
-recovers {100 * np.mean(recall):.1f}% of the exact top-{k} on average.
+**Retrieved-set agreement**: mean Jaccard@{k} = {jac:.4f}; the walk
+recovers {100 * recall:.1f}% of the exact top-{k} on average.
 
 ## Conclusion
 
 {_conclusion(d)}
 
 Mechanism: the walk's greedy link expansion only sees nodes reachable from
-its {dls.seed_size} random seeds within {dls.max_steps} steps — it recovers
-{100 * np.mean(recall):.1f}% of the true top-{k} (set Jaccard
-{np.mean(jac):.3f}) and returns nothing useful when no seed lands near the
+its 5 random seeds within 100 steps — it recovers
+{100 * recall:.1f}% of the true top-{k} (set Jaccard
+{jac:.3f}) and returns nothing useful when no seed lands near the
 query's cluster, while exact search cannot miss by construction. Every
 observed delta favors exact or sits inside noise; no metric favors the
 walk beyond noise. Latency in the
