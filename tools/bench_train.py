@@ -146,6 +146,7 @@ def run_variant(v, *, swin_name, text_len, iters, use_pallas, on_tpu, trace):
         "batch": batch,
         "mu_bf16": v["mu_bf16"],
         "remat": v["remat"],
+        "xla_attention": v["xla"],
         "iters": iters,
         "step_ms": dt / iters * 1e3,
         "train_pairs_per_sec": batch * iters / dt,
@@ -216,15 +217,17 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record OOMs, keep sweeping
             row = {"error": repr(e)[:300]}
         result["rows"][v["name"]] = row
-        best = max(
-            (r for r in result["rows"].values() if "train_pairs_per_sec" in r),
-            key=lambda r: r["train_pairs_per_sec"],
-            default=None,
+        best_name, best = max(
+            ((n, r) for n, r in result["rows"].items()
+             if "train_pairs_per_sec" in r),
+            key=lambda nr: nr[1]["train_pairs_per_sec"],
+            default=(None, None),
         )
         if best:
             result["best_train_pairs_per_sec"] = best["train_pairs_per_sec"]
             result["best_step_ms"] = best["step_ms"]
             result["best_batch"] = best["batch"]
+            result["best_variant"] = best_name
         OUT.write_text(json.dumps(result, indent=1))  # survive later OOMs
         print(json.dumps({v["name"]: row}), flush=True)
 
