@@ -116,6 +116,39 @@ def cmd_eval_ret(args) -> int:
         test_eng, train_eng, q_embs, q_ids, gt_test, gt_train,
         k=args.k, out_dir=args.out,
     )
+    if args.variants:
+        # reranker ablations + paired significance vs baseline (reference
+        # retrieval_eval_variants.py:31-153; significance is advertised in
+        # the reference README.md:82 but implemented only here)
+        from mmrp_tpu.eval.retrieval_eval import variant_eval
+        from mmrp_tpu.labels import LABEL_COLS
+        from mmrp_tpu.retrieval.rerank import Reranker
+
+        labels_by_id, kg_kwargs = {}, {}
+        if args.run_dir:
+            run = Path(args.run_dir)
+            records_p = run.parent / "records_cache.json"
+            if records_p.exists():
+                recs = json.loads(records_p.read_text())["records"]
+                labels_by_id = {
+                    r["id"]: np.asarray(r["labels"]) for r in recs
+                }
+            kg_dir = run / "kg"
+            if (kg_dir / "node_embeddings.npy").exists():
+                kg_kwargs = dict(
+                    kg_node_embeddings=np.load(kg_dir / "node_embeddings.npy"),
+                    kg_node2id=json.loads((kg_dir / "node2id.json").read_text()),
+                )
+
+        def factory(a, b, c):
+            return Reranker(alpha=a, beta=b, gamma=c,
+                            labels_by_id=labels_by_id,
+                            label_names=LABEL_COLS, **kg_kwargs)
+
+        res["variants"] = variant_eval(
+            test_eng, q_embs, q_ids, gt_test, factory, k=args.k,
+            out_path=str(Path(args.out) / "variants.json"),
+        )
     print(json.dumps(res, indent=1))
     return 0
 
@@ -195,6 +228,10 @@ def main(argv=None) -> int:
     p.add_argument("--gt-test", required=True)
     p.add_argument("--gt-train", required=True)
     p.add_argument("-k", type=int, default=10)
+    p.add_argument("--variants", action="store_true",
+                   help="also run reranker ablations + paired significance")
+    p.add_argument("--run-dir", default=None,
+                   help="trained run dir supplying reranker inputs (labels/KG)")
     _add_common(p)
     p.set_defaults(fn=cmd_eval_ret)
 

@@ -36,8 +36,14 @@ def evaluate_gallery(
     k: int = 10,
     reranker=None,
     time_queries: bool = True,
+    per_query: bool = False,
 ) -> Dict[str, float]:
-    """One gallery pass -> metric dict (+ avg/p50 latency)."""
+    """One gallery pass -> metric dict (+ avg/p50 latency).
+
+    ``per_query=True`` adds an ``out["per_query"]`` dict of per-query
+    metric vectors (AP, RR, P@k, nDCG@k) for paired significance testing
+    (eval/significance.py; reference README.md:82,112 advertises this
+    but ships no implementation)."""
     retrieved: List[List[str]] = []
     relevant: List[set] = []
     times: List[float] = []
@@ -65,6 +71,19 @@ def evaluate_gallery(
     if time_queries:
         out["avg_ms"] = float(np.mean(times))
         out["p50_ms"] = float(np.percentile(times, 50))
+    if per_query:
+        out["per_query"] = {
+            "AP": [M.average_precision(r, s, k) for r, s in zip(retrieved, relevant)],
+            "RR": [
+                M.mean_reciprocal_rank([r], [s]) for r, s in zip(retrieved, relevant)
+            ],
+            f"P@{k}": [
+                M.precision_at_k(r, s, k) for r, s in zip(retrieved, relevant)
+            ],
+            f"nDCG@{k}": [
+                M.ndcg_at_k(r, s, k) for r, s in zip(retrieved, relevant)
+            ],
+        }
     return out
 
 
@@ -165,8 +184,14 @@ def variant_eval(
     reranker_factory,  # (alpha, beta, gamma) -> Reranker
     k: int = 10,
     out_path: Optional[str] = None,
+    significance: bool = True,
 ) -> Dict[str, Dict[str, float]]:
-    """Reranker ablations (retrieval_eval_variants.py:31-153)."""
+    """Reranker ablations (retrieval_eval_variants.py:31-153).
+
+    ``significance=True`` adds per-variant paired tests vs the no-rerank
+    baseline (paired t-test / Wilcoxon / bootstrap CI on per-query AP and
+    RR) under ``res[name]["significance_vs_baseline"]`` — the capability
+    the reference README.md:82,112 lists but never implemented."""
     variants = {
         "baseline": None,  # no rerank
         "kg_only": reranker_factory(0.0, 0.0, 1.0),
@@ -175,9 +200,19 @@ def variant_eval(
         "full": reranker_factory(0.6, 0.25, 0.15),
     }
     res = {
-        name: evaluate_gallery(engine, query_embs, query_ids, gt, k, rr)
+        name: evaluate_gallery(
+            engine, query_embs, query_ids, gt, k, rr, per_query=significance
+        )
         for name, rr in variants.items()
     }
+    if significance:
+        from mmrp_tpu.eval.significance import compare_variants
+
+        tests = compare_variants(
+            {name: m.pop("per_query") for name, m in res.items()}
+        )
+        for name, t in tests.items():
+            res[name]["significance_vs_baseline"] = t
     if out_path:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         Path(out_path).write_text(json.dumps(res, indent=1))

@@ -71,6 +71,34 @@ def test_variant_eval(rng, tmp_path):
     res = variant_eval(eng, g[:2], ["q0", "q1"], gt, factory, k=5,
                        out_path=str(tmp_path / "variants.json"))
     assert set(res) == {"baseline", "kg_only", "la_only", "kg_la", "full"}
+    # paired significance vs the no-rerank baseline (reference README.md:82
+    # advertises this; implemented in eval/significance.py)
+    sig = res["full"]["significance_vs_baseline"]
+    assert set(sig) == {"AP", "RR"} and "p_ttest" in sig["AP"]
+    assert "per_query" not in res["baseline"]  # popped, not serialized
+    saved = json.loads((tmp_path / "variants.json").read_text())
+    assert "significance_vs_baseline" in saved["full"]
+
+
+def test_paired_significance_detects_shift(rng):
+    from mmrp_tpu.eval.significance import compare_variants, paired_tests
+
+    b = rng.random(64)
+    a = np.clip(b + 0.1, 0, 1.2)  # constant positive shift
+    t = paired_tests(a, b)
+    assert t["mean_delta"] > 0.05
+    assert t["p_ttest"] < 1e-6 and t["p_wilcoxon"] < 1e-6
+    assert t["ci95_lo"] > 0  # CI excludes zero
+
+    same = paired_tests(b, b)
+    assert same["p_ttest"] == 1.0 and same["mean_delta"] == 0.0
+
+    noise = paired_tests(b + rng.standard_normal(64) * 1e-3, b)
+    assert noise["p_ttest"] > 1e-6 or abs(noise["mean_delta"]) < 1e-3
+
+    out = compare_variants({"baseline": {"AP": b}, "v": {"AP": a}},
+                           metrics=("AP",))
+    assert out["v"]["AP"]["p_ttest"] < 1e-6
 
 
 def test_evaluate_classification_writes(tmp_path, rng):
