@@ -114,10 +114,22 @@ def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int):
 
     fn = jax.jit(chained)
     _ = float(fn(params, img, ids, mask))  # compile + warmup (full chain)
-    t0 = time.perf_counter()
-    _ = float(fn(params, img, ids, mask))  # timed: scalar fetch forces all
-    dt = time.perf_counter() - t0
+    # median of several timed chains: dispatch jitter through the dev
+    # tunnel is tens-of-ms scale (docs/ROOFLINE.md chip-state notes), so a
+    # single chain carries avoidable noise; each repeat is a full chained
+    # re-execution (same methodology as the warmup/timed pair before).
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    dts = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        _ = float(fn(params, img, ids, mask))  # scalar fetch forces all
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
     throughput = batch * iters / dt
+    bench_embed.last_spread = {  # picked up into BENCH_DETAILS by main()
+        "dt_repeats_s": [round(x, 5) for x in dts],
+        "spread_pct": round(100.0 * (max(dts) - min(dts)) / dt, 2),
+    }
 
     # FLOPs (2 x MACs): Swin GMACs 4.5/8.7/15.4 (tiny/small/base); BERT-base
     # dims ~85M MACs/token; fusion stack 2.07 TF per 128 pairs at L64
@@ -192,6 +204,7 @@ def main() -> None:
         throughput, mxu_frac = bench_embed(batch, text_len, use_pallas, iters)
         details["embed_pairs_per_sec"] = throughput
         details["implied_peak_frac"] = mxu_frac
+        details["embed_timing"] = getattr(bench_embed, "last_spread", None)
     except Exception as e:  # noqa: BLE001 — record and continue
         details["error_embed"] = repr(e)
 
