@@ -260,7 +260,8 @@ def _kernel_win(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
                  ln1_s, ln1_b, w1, b1, w2, b2, bias_pad,
-                 *, num_heads, eps, wblk, ib, pad_gemm, quant, interpret):
+                 *, num_heads, eps, wblk, ib, pad_gemm, nopad, quant,
+                 interpret):
     B, nW, N, C = xw.shape             # N = ws*ws, unpadded
     npad = bias_pad.shape[-1]
     hidden = w1.shape[1]
@@ -272,6 +273,15 @@ def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
     while ib > 1 and B % ib:
         ib //= 2
     ib = max(ib, 1)
+    if nopad and pad_gemm:
+        # unpadded large-M flavor: skip the 49 -> 56 VMEM pad; every GEMM
+        # runs on rows = ib*wblk*N (392 at all Swin-B stage geometries,
+        # still a sublane multiple) — saves the +14% pad-row GEMM FLOPs
+        # and the 56^2-vs-49^2 attention-score waste. Relies on Mosaic
+        # accepting the non-tile-aligned (ib, wblk, N, C) -> (rows, C)
+        # relayout; gate stays env-off until measured on hardware.
+        bias_pad = bias_pad[:, :, :N, :N]
+        npad = N
 
     vm = dict(memory_space=pltpu.VMEM) if (_HAS_PLTPU and not interpret) else {}
     kwargs = {}
@@ -389,12 +399,12 @@ def xla_equivalent(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(num_heads, eps, wblk, ib, pad_gemm, quant, interpret):
+def _make_fused(num_heads, eps, wblk, ib, pad_gemm, nopad, quant, interpret):
     @jax.custom_vjp
     def f(xw, *params):
         return _pallas_impl(xw, *params, num_heads=num_heads, eps=eps,
-                            wblk=wblk, ib=ib, pad_gemm=pad_gemm, quant=quant,
-                            interpret=interpret)
+                            wblk=wblk, ib=ib, pad_gemm=pad_gemm, nopad=nopad,
+                            quant=quant, interpret=interpret)
 
     def fwd(*args):
         return f(*args), args
@@ -451,8 +461,12 @@ def fused_swin_block_windows(
         # at late stages (stage 4: nW=1 -> 8 images per program)
         image_block = int(os.environ.get(
             "MMRP_SWIB", str(max(1, 448 // (wblk_eff * npad)))))
+    # MMRP_SWIN_NOPAD=1: unpadded large-M flavor (see _pallas_impl) — A/B
+    # knob; ib selection above stays on the padded npad so the grid
+    # geometry matches the tuned defaults (rows 448 -> 392).
+    nopad = os.environ.get("MMRP_SWIN_NOPAD", "0") == "1"
     fn = _make_fused(num_heads, float(ln_eps), int(block_windows),
-                     int(image_block), bool(pad_gemm),
+                     int(image_block), bool(pad_gemm), bool(nopad),
                      bool(quant and pad_gemm), bool(interpret))
     return fn(xw, ln0_scale, ln0_bias, w_qkv, b_qkv, w_proj, b_proj,
               ln1_scale, ln1_bias, w1, b1, w2, b2, bias_pad)

@@ -94,6 +94,33 @@ def test_whole_block_path_matches_unfused_swinblock(shift):
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize("shape,h,shift", [
+    ((2, 14, 14, 64), 4, 0),     # stage-3-like: 4 windows
+    ((2, 14, 14, 64), 4, 3),     # shifted
+    ((3, 7, 7, 32), 2, 0),       # stage-4-like: single window, ib>1
+])
+def test_nopad_flavor_matches_xla_equivalent(shape, h, shift, monkeypatch):
+    """MMRP_SWIN_NOPAD=1: unpadded large-M flavor (rows = ib*wblk*49, no
+    56-token pad) must match the oracle exactly like the pad flavor."""
+    monkeypatch.setenv("MMRP_SWIN_NOPAD", "1")
+    B, H, W, C = shape
+    ws = 7
+    p = _params(0, C, 2 * C, h, ws)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(shape).astype(np.float32))
+    xs = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+    xw = window_partition(xs, ws)
+    bias = build_bias_padded(p["rel"], ws, H, W, shift)
+    args = (xw, p["ln0_s"], p["ln0_b"], p["qkv_k"], p["qkv_b"],
+            p["proj_k"], p["proj_b"], p["ln1_s"], p["ln1_b"],
+            p["w1"], p["b1"], p["w2"], p["b2"], bias)
+    got = fused_swin_block_windows(*args[:13], args[13], h,
+                                   pad_gemm=True, interpret=True)
+    want = xla_equivalent(*args, num_heads=h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_quantized_pad_flavor_close_to_float():
     """quant=True (W8A8 GEMMs in the pad-flavor kernel) stays close to the
     full-precision oracle."""
