@@ -461,10 +461,13 @@ def fused_swin_block_windows(
         # at late stages (stage 4: nW=1 -> 8 images per program)
         image_block = int(os.environ.get(
             "MMRP_SWIB", str(max(1, 448 // (wblk_eff * npad)))))
-    # MMRP_SWIN_NOPAD=1: unpadded large-M flavor (see _pallas_impl) — A/B
-    # knob; ib selection above stays on the padded npad so the grid
-    # geometry matches the tuned defaults (rows 448 -> 392).
-    nopad = os.environ.get("MMRP_SWIN_NOPAD", "0") == "1"
+    # Unpadded large-M flavor (see _pallas_impl) is the DEFAULT: measured
+    # back-to-back on the Swin-B encoder (B=64) it wins 26.98 vs 28.62 ms
+    # (-5.7%) — Mosaic's non-tile-aligned relayout costs less than the
+    # +14% pad-row GEMM FLOPs it removes. MMRP_SWIN_NOPAD=0 restores the
+    # padded flavor; ib selection above stays on the padded npad so the
+    # grid geometry matches the tuned defaults (rows 448 -> 392).
+    nopad = os.environ.get("MMRP_SWIN_NOPAD", "1") == "1"
     fn = _make_fused(num_heads, float(ln_eps), int(block_windows),
                      int(image_block), bool(pad_gemm), bool(nopad),
                      bool(quant and pad_gemm), bool(interpret))

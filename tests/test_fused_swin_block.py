@@ -45,7 +45,11 @@ def _params(rng, C, hidden, h, ws):
     ((2, 14, 14, 64), 4, 3),     # shifted
     ((3, 7, 7, 32), 2, 0),       # stage-4-like: single window, ib>1
 ])
-def test_kernel_matches_xla_equivalent(shape, h, shift, pad_gemm):
+def test_kernel_matches_xla_equivalent(shape, h, shift, pad_gemm,
+                                       monkeypatch):
+    # pin the PADDED flavor: nopad is the default since the Swin-B A/B
+    # (-5.7%), but the pad flavor stays selectable and must stay correct
+    monkeypatch.setenv("MMRP_SWIN_NOPAD", "0")
     B, H, W, C = shape
     ws = 7
     p = _params(0, C, 2 * C, h, ws)
