@@ -259,14 +259,26 @@ class WindowAttention(nn.Module):
         if shift > 0:
             y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
         qkv = y @ qkv_k.astype(y.dtype) + qkv_b.astype(y.dtype)
-        win = window_partition(qkv, ws)  # (B, nW, N, 3C)
         rel = build_rel_bias(rel_table, ws)
         smask = (
             jnp.asarray(shift_attn_mask(H, W, ws, shift)) if shift > 0 else None
         )
-        winq = win.reshape(B, nW, N, 3, self.num_heads, head_dim)
-        attn_out = window_attention_xla_direct(winq, rel, smask, scale)
-        attn_out = window_reverse(attn_out, ws, H, W)  # (B, H, W, C)
+        if (os.environ.get("MMRP_SWIN_XLA_6D", "0") == "1"
+                and H % ws == 0 and W % ws == 0):
+            # no-copy formulation: attention on the pure-reshape 6D view —
+            # no window partition/reverse transposes in forward OR backward
+            # (they are 18% of the Swin-B train step, docs/ROOFLINE.md §8)
+            from mmrp_tpu.ops.window_attention import window_attention_xla_6d
+
+            qkv6 = qkv.reshape(B, H // ws, ws, W // ws, ws, 3,
+                               self.num_heads, head_dim)
+            attn_out = window_attention_xla_6d(
+                qkv6, rel, smask, scale, ws).reshape(B, H, W, self.dim)
+        else:
+            win = window_partition(qkv, ws)  # (B, nW, N, 3C)
+            winq = win.reshape(B, nW, N, 3, self.num_heads, head_dim)
+            attn_out = window_attention_xla_direct(winq, rel, smask, scale)
+            attn_out = window_reverse(attn_out, ws, H, W)  # (B, H, W, C)
         out = attn_out @ proj_k.astype(y.dtype) + proj_b.astype(y.dtype)
         if shift > 0:
             out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))

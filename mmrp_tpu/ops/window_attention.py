@@ -179,6 +179,51 @@ def window_attention_xla_direct(
     return out.reshape(B, nW, N, h * d)
 
 
+def window_attention_xla_6d(
+    qkv6: jnp.ndarray,  # (B, nWh, ws, nWw, ws, 3, h, d)
+    rel_bias: jnp.ndarray,  # (h, N, N)
+    smask: Optional[jnp.ndarray],  # (nW, N, N) or None
+    scale: float,
+    ws: int,
+    scores_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Attention on the UN-PARTITIONED 6D view — the no-copy formulation.
+
+    ``qkv6`` is a pure reshape of the (B, H, W, 3C) qkv map: H = nWh*ws
+    and W = nWw*ws split contiguously, so neither this reshape nor the
+    inverse on the output moves data — the explicit window partition /
+    reverse transposes (the dominant copy cost of the XLA train path,
+    docs/ROOFLINE.md §8: 18% of the Swin-B step) never appear in the
+    graph. Whether XLA's dot_general lowers the interleaved batch dims
+    (b, i, j, h) without materializing equivalent relayouts is a measured
+    question — gated by MMRP_SWIN_XLA_6D in WindowAttention.
+
+    Numerics mirror :func:`window_attention_xla_direct`: scores in the
+    input dtype by default, max-subtracted softmax with f32 reductions.
+    Returns (B, nWh, ws, nWw, ws, h*d); reshape to (B, H, W, C) is pure.
+    """
+    q = qkv6[..., 0, :, :]  # (b, i, p, j, q, h, d)
+    k = qkv6[..., 1, :, :]
+    v = qkv6[..., 2, :, :]
+    h = q.shape[-2]
+    sdt = scores_dtype or q.dtype
+    scores = jnp.einsum("bipjqhd,biPjQhd->bijhpqPQ", q, k,
+                        preferred_element_type=sdt)
+    rel6 = rel_bias.reshape(h, ws, ws, ws, ws)
+    scores = scores * jnp.asarray(scale, sdt) \
+        + rel6[None, None, None].astype(sdt)
+    if smask is not None:
+        nWh, nWw = q.shape[1], q.shape[3]
+        sm6 = smask.reshape(nWh, nWw, ws, ws, ws, ws)
+        scores = scores + sm6[None, :, :, None].astype(sdt)
+    m = jnp.max(scores, axis=(-2, -1), keepdims=True)
+    e = jnp.exp((scores - m).astype(jnp.float32))
+    p = (e / jnp.sum(e, axis=(-2, -1), keepdims=True)).astype(v.dtype)
+    out = jnp.einsum("bijhpqPQ,biPjQhd->bipjqhd", p, v)
+    B, nWh, _, nWw, _, h, d = out.shape
+    return out.reshape(B, nWh, ws, nWw, ws, h * d)
+
+
 def window_attention_xla(
     q: jnp.ndarray,  # (B, G, N_pad, D)
     k: jnp.ndarray,

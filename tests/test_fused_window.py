@@ -101,3 +101,46 @@ def test_swin_fused_param_layout_matches_unfused(rng):
         params = SwinEncoder(cfg).init(jax.random.PRNGKey(0), x)["params"]
         trees.append(jax.tree_util.tree_structure(params))
     assert trees[0] == trees[1]
+
+
+def test_xla_6d_matches_direct():
+    """The no-copy 6D formulation == partition + direct + reverse, both
+    unshifted and shifted (stage-3-like 14x14/ws7 geometry)."""
+    ws, h, d = 7, 2, 8
+    H = Wd = 14
+    B, C = 2, h * d
+    r = np.random.default_rng(0)
+    qkv = jnp.asarray(r.standard_normal((B, H, Wd, 3 * C)).astype(np.float32))
+    table = jnp.asarray(r.standard_normal(((2 * ws - 1) ** 2, h)).astype(np.float32) * 0.1)
+    rel = W.build_rel_bias(table, ws)
+    scale = d**-0.5
+    nW = (H // ws) * (Wd // ws)
+    for shift in (0, 3):
+        smask = jnp.asarray(W.shift_attn_mask(H, Wd, ws, shift)) if shift else None
+        win = W.window_partition(qkv, ws)
+        winq = win.reshape(B, nW, ws * ws, 3, h, d)
+        want = W.window_reverse(
+            W.window_attention_xla_direct(winq, rel, smask, scale), ws, H, Wd)
+        qkv6 = qkv.reshape(B, H // ws, ws, Wd // ws, ws, 3, h, d)
+        got = W.window_attention_xla_6d(qkv6, rel, smask, scale, ws)
+        got = got.reshape(B, H, Wd, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_swinblock_xla_6d_env_matches_default(monkeypatch):
+    """SwinBlock XLA path with MMRP_SWIN_XLA_6D=1 == the default path."""
+    from mmrp_tpu.models.swin import SwinBlock
+
+    B, H, Wd, C, h = 2, 14, 14, 32, 4
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((B, H, Wd, C)).astype(np.float32))
+    blk = SwinBlock(dim=C, num_heads=h, window_size=7, shift=3,
+                    input_resolution=(H, Wd), mlp_ratio=2.0, drop_path=0.0,
+                    dropout=0.0, use_pallas=False)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    want = blk.apply(params, x)
+    monkeypatch.setenv("MMRP_SWIN_XLA_6D", "1")
+    got = blk.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
