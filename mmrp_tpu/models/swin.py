@@ -258,28 +258,44 @@ class WindowAttention(nn.Module):
 
         if shift > 0:
             y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
-        qkv = y @ qkv_k.astype(y.dtype) + qkv_b.astype(y.dtype)
         rel = build_rel_bias(rel_table, ws)
         smask = (
             jnp.asarray(shift_attn_mask(H, W, ws, shift)) if shift > 0 else None
         )
         if (os.environ.get("MMRP_SWIN_XLA_6D", "0") == "1"
                 and H % ws == 0 and W % ws == 0):
-            # no-copy formulation: attention on the pure-reshape 6D view —
-            # no window partition/reverse transposes in forward OR backward
-            # (they are 18% of the Swin-B train step, docs/ROOFLINE.md §8)
+            # 6D no-copy formulation: measured 2.9x SLOWER on the Swin-B
+            # train step (every materialized tensor gets trailing ws=7
+            # dims -> 128-lane padding waste); kept for documentation,
+            # docs/ROOFLINE.md §8 addendum.
             from mmrp_tpu.ops.window_attention import window_attention_xla_6d
 
+            qkv = y @ qkv_k.astype(y.dtype) + qkv_b.astype(y.dtype)
             qkv6 = qkv.reshape(B, H // ws, ws, W // ws, ws, 3,
                                self.num_heads, head_dim)
             attn_out = window_attention_xla_6d(
                 qkv6, rel, smask, scale, ws).reshape(B, H, W, self.dim)
+            out = attn_out @ proj_k.astype(y.dtype) + proj_b.astype(y.dtype)
         else:
-            win = window_partition(qkv, ws)  # (B, nW, N, 3C)
+            # partition BEFORE the qkv GEMM: the window transpose then
+            # moves the C-wide map instead of the 3C-wide qkv tensor
+            # (halves the attention segment's relayout bytes, fwd AND
+            # bwd — the copies are 18% of the Swin-B train step,
+            # docs/ROOFLINE.md §8). The GEMM runs identically on the
+            # windowed layout (XLA flattens the (B, nW, N) free dims
+            # into one large-M matmul either way). Math is bit-identical
+            # (per-token GEMM commutes with the token permutation);
+            # gated off until the train-step A/B.
+            if os.environ.get("MMRP_SWIN_XLA_PREQKV", "0") == "1":
+                yw = window_partition(y, ws)  # (B, nW, N, C)
+                win = yw @ qkv_k.astype(y.dtype) + qkv_b.astype(y.dtype)
+            else:
+                qkv = y @ qkv_k.astype(y.dtype) + qkv_b.astype(y.dtype)
+                win = window_partition(qkv, ws)  # (B, nW, N, 3C)
             winq = win.reshape(B, nW, N, 3, self.num_heads, head_dim)
             attn_out = window_attention_xla_direct(winq, rel, smask, scale)
             attn_out = window_reverse(attn_out, ws, H, W)  # (B, H, W, C)
-        out = attn_out @ proj_k.astype(y.dtype) + proj_b.astype(y.dtype)
+            out = attn_out @ proj_k.astype(y.dtype) + proj_b.astype(y.dtype)
         if shift > 0:
             out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
         return out, False

@@ -144,3 +144,22 @@ def test_swinblock_xla_6d_env_matches_default(monkeypatch):
     got = blk.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_swinblock_preqkv_env_matches_default(monkeypatch):
+    """Partition-before-qkv order is bit-identical to qkv-before-partition
+    (the GEMM is per-token; window partition is a token permutation)."""
+    from mmrp_tpu.models.swin import SwinBlock
+
+    B, H, Wd, C, h = 2, 14, 14, 32, 4
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((B, H, Wd, C)).astype(np.float32))
+    blk = SwinBlock(dim=C, num_heads=h, window_size=7, shift=3,
+                    input_resolution=(H, Wd), mlp_ratio=2.0, drop_path=0.0,
+                    dropout=0.0, use_pallas=False)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    want = blk.apply(params, x)
+    monkeypatch.setenv("MMRP_SWIN_XLA_PREQKV", "1")
+    got = blk.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0)
