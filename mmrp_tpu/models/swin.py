@@ -355,19 +355,30 @@ class SwinBlock(nn.Module):
             xs = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2)) if shift \
                 else x
             bias_pad = build_bias_padded(rel_table, ws, H_, W_, shift)
-            xw = window_partition(xs, ws)
-            ow = fused_swin_block_windows(
-                xw,
+            blk_args = (
                 ln0_s.astype(jnp.float32), ln0_b.astype(jnp.float32),
                 qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
                 proj_k.astype(self.dtype), proj_b.astype(self.dtype),
                 ln1_s.astype(jnp.float32), ln1_b.astype(jnp.float32),
                 w1.astype(self.dtype), b1.astype(self.dtype),
                 w2.astype(self.dtype), b2.astype(self.dtype),
-                bias_pad, self.num_heads,
-                quant=(self.quant == "int8"),
             )
-            out = window_reverse(ow, ws, H_, W_)
+            if os.environ.get("MMRP_SWIN_RAW", "0") == "1":
+                # raw-map flavor: BlockSpecs slice windows straight out of
+                # the feature map — no XLA partition/reverse copies
+                from mmrp_tpu.ops.fused_swin_block import fused_swin_block_raw
+
+                out = fused_swin_block_raw(
+                    xs, *blk_args, bias_pad, self.num_heads, ws,
+                    quant=(self.quant == "int8"),
+                )
+            else:
+                xw = window_partition(xs, ws)
+                ow = fused_swin_block_windows(
+                    xw, *blk_args, bias_pad, self.num_heads,
+                    quant=(self.quant == "int8"),
+                )
+                out = window_reverse(ow, ws, H_, W_)
             if shift:
                 out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
             return out

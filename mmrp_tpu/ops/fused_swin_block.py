@@ -111,10 +111,12 @@ def _ln_rows(xf, scale_ref, bias_ref, eps):
         + bias_ref[...][None, :]
 
 
-def _kernel(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-            bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            bias_ref, o_ref, *, num_heads: int, scale: float, eps: float,
-            npad: int, quant: bool = False):
+def _block_body(x4, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, bias_ref, *, num_heads: int, scale: float, eps: float,
+                npad: int, quant: bool):
+    """Shared whole-block math on an in-VMEM (ib, wblk, N, C) array.
+    Returns (ib, wblk, npad, C); rows N..npad (if any) carry garbage."""
     if quant:
         from mmrp_tpu.ops.fused_attention import _qdot
 
@@ -125,13 +127,12 @@ def _kernel(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
             return jnp.dot(x, w_ref[...],
                            preferred_element_type=jnp.float32) \
                 + b_ref[...][None, :]
-    ib, wblk, N, C = x_ref.shape        # N = ws*ws (unpadded)
+    ib, wblk, N, C = x4.shape           # N = ws*ws (unpadded)
     h = num_heads
     d = C // h
     rows = ib * wblk * npad
     nb = ib * wblk
 
-    x4 = x_ref[...]
     if npad != N:
         # pad windows to a sublane tile IN VMEM (a pre-padded HBM layout
         # cost one extra full-map round trip per block — measured)
@@ -180,8 +181,45 @@ def _kernel(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     z = _ln_rows(y2, ln1_s_ref, ln1_b_ref, eps).astype(x2.dtype)
     hdn = jax.nn.gelu(gemm(z, w1_ref, b1_ref)).astype(x2.dtype)
     out2 = y2 + gemm(hdn, w2_ref, b2_ref)
-    out4 = out2.astype(x_ref.dtype).reshape(ib, wblk, npad, C)
+    return out2.astype(x2.dtype).reshape(ib, wblk, npad, C)
+
+
+def _kernel(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+            bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            bias_ref, o_ref, *, num_heads: int, scale: float, eps: float,
+            npad: int, quant: bool = False):
+    N = x_ref.shape[2]
+    out4 = _block_body(
+        x_ref[...], ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+        bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+        bias_ref, num_heads=num_heads, scale=scale, eps=eps, npad=npad,
+        quant=quant,
+    )
     o_ref[...] = out4[:, :, :N]         # pad rows never reach HBM
+
+
+def _kernel_raw(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, bias_ref, o_ref, *, num_heads: int, scale: float,
+                eps: float, ws: int, quant: bool = False):
+    """Raw-map flavor: the block is (ib, ws, W, C) — one window ROW of the
+    un-partitioned feature map per grid step, indexed directly by the
+    BlockSpec (windows tile the map, so no XLA-side partition/reverse
+    transpose ever exists). The window transpose happens here IN VMEM:
+    (ib, ws, nWw, ws, C) -> (ib, nWw, ws*ws, C)."""
+    ib, _, Wd, C = x_ref.shape
+    nWw = Wd // ws
+    N = ws * ws
+    x5 = x_ref[...].reshape(ib, ws, nWw, ws, C)     # pure view
+    x4 = x5.transpose(0, 2, 1, 3, 4).reshape(ib, nWw, N, C)
+    out4 = _block_body(
+        x4, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+        bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+        bias_ref, num_heads=num_heads, scale=scale, eps=eps, npad=N,
+        quant=quant,
+    )                                               # (ib, nWw, N, C)
+    o5 = out4.reshape(ib, nWw, ws, ws, C).transpose(0, 2, 1, 3, 4)
+    o_ref[...] = o5.reshape(ib, ws, Wd, C)
 
 
 def _kernel_win(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -340,6 +378,138 @@ def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
         **kwargs,
     )(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
       ln1_s, ln1_b, w1, b1, w2, b2, bias)
+
+
+def _pallas_impl_raw(x, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
+                     ln1_s, ln1_b, w1, b1, w2, b2, bias_pad,
+                     *, num_heads, eps, ws, ib, quant, interpret):
+    """Raw-map whole block: x is the UN-PARTITIONED (B, H, W, C) feature
+    map (pre-rolled by the caller for shifted blocks). Each grid step
+    covers (ib images) x (one window row = W//ws windows); the BlockSpec
+    slices the map directly, so window partition/reverse never touch HBM.
+    GEMM geometry matches the tuned unpadded flavor: rows = ib*nWw*49
+    (= 392 at every Swin-B stage with the default ib)."""
+    B, H, Wd, C = x.shape
+    nWh, nWw = H // ws, Wd // ws
+    N = ws * ws
+    hidden = w1.shape[1]
+    d = C // num_heads
+    scale = d**-0.5
+    while ib > 1 and B % ib:
+        ib //= 2
+    ib = max(ib, 1)
+    bias = bias_pad[:, :, :N, :N]      # (nW, h, N, N), unpadded
+
+    vm = dict(memory_space=pltpu.VMEM) if (_HAS_PLTPU and not interpret) else {}
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * B * nWh * nWw * N * C * (4 * C + 2 * hidden)
+            + 4 * B * nWh * nWw * num_heads * N * N * d,
+            bytes_accessed=4 * B * H * Wd * C * 2
+            + 2 * (4 * C * C + 2 * C * hidden),
+            transcendentals=B * nWh * nWw * num_heads * N * N,
+        )
+    kernel = functools.partial(_kernel_raw, num_heads=num_heads, scale=scale,
+                               eps=eps, ws=ws, quant=quant)
+    # window-row OUTER, image-block INNER: the bias row block stays
+    # VMEM-resident across the batch sweep (same reuse as the other grids)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, Wd, C), x.dtype),
+        grid=(nWh, B // ib),
+        in_specs=[
+            pl.BlockSpec((ib, ws, Wd, C), lambda w, b: (b, w, 0, 0), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C, 3 * C), lambda w, b: (0, 0), **vm),
+            pl.BlockSpec((3 * C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C, C), lambda w, b: (0, 0), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((C, hidden), lambda w, b: (0, 0), **vm),
+            pl.BlockSpec((hidden,), lambda w, b: (0,), **vm),
+            pl.BlockSpec((hidden, C), lambda w, b: (0, 0), **vm),
+            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+            pl.BlockSpec(
+                (nWw, num_heads, N, N), lambda w, b: (w, 0, 0, 0), **vm
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ib, ws, Wd, C), lambda w, b: (b, w, 0, 0), **vm),
+        interpret=interpret,
+        **kwargs,
+    )(x, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
+      ln1_s, ln1_b, w1, b1, w2, b2, bias)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_raw(num_heads, eps, ws, ib, quant, interpret):
+    @jax.custom_vjp
+    def f(x, *params):
+        return _pallas_impl_raw(x, *params, num_heads=num_heads, eps=eps,
+                                ws=ws, ib=ib, quant=quant,
+                                interpret=interpret)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        x, *params = res
+
+        def body(x_, *ps):
+            from mmrp_tpu.ops.window_attention import (
+                window_partition, window_reverse,
+            )
+
+            H, Wd = x_.shape[1], x_.shape[2]
+            xw = window_partition(x_, ws)
+            ow = xla_equivalent(xw, *ps, num_heads=num_heads, eps=eps)
+            return window_reverse(ow, ws, H, Wd)
+
+        _, vjp = jax.vjp(body, x, *params)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_swin_block_raw(
+    x: jnp.ndarray,                    # (B, H, W, C) raw map, pre-rolled
+    ln0_scale, ln0_bias,
+    w_qkv, b_qkv, w_proj, b_proj,
+    ln1_scale, ln1_bias,
+    w1, b1, w2, b2,
+    bias_pad: jnp.ndarray,             # (nW, h, npad, npad) or (nW, h, N, N)
+    num_heads: int,
+    ws: int,
+    *,
+    image_block: Optional[int] = None,
+    quant: bool = False,
+    ln_eps: float = 1e-6,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Whole Swin block consuming the UN-PARTITIONED feature map — the
+    XLA-side window partition/reverse copies (stage-1 relayouts were
+    ~3.7 ms of the Swin-B embed trace, docs/ROOFLINE.md §6) never exist;
+    the window transpose is an in-VMEM relayout per grid block.
+    Differentiable (custom VJP recomputes partition + xla_equivalent +
+    reverse)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, Wd, C = x.shape
+    nWw = Wd // ws
+    if image_block is None:
+        image_block = int(os.environ.get(
+            "MMRP_SWIB", str(max(1, 448 // (nWw * padded_tokens(ws))))))
+    fn = _make_fused_raw(num_heads, float(ln_eps), int(ws), int(image_block),
+                         bool(quant), bool(interpret))
+    return fn(x, ln0_scale, ln0_bias, w_qkv, b_qkv, w_proj, b_proj,
+              ln1_scale, ln1_bias, w1, b1, w2, b2, bias_pad)
 
 
 # ---------------------------------------------------------------------------

@@ -178,3 +178,81 @@ def test_kernel_gradients_finite():
     g = jax.grad(loss, argnums=(0, 1, 2))(xw, p["qkv_k"], p["w1"])
     for t in g:
         assert np.isfinite(np.asarray(t)).all()
+
+
+@pytest.mark.parametrize("shape,h,shift,ib", [
+    ((2, 14, 14, 64), 4, 0, None),   # stage-3-like: 2x1 window rows
+    ((2, 14, 14, 64), 4, 3, None),   # shifted
+    ((3, 7, 7, 32), 2, 0, None),     # stage-4-like: single window, ib>1
+    ((4, 28, 28, 32), 2, 2, 2),      # stage-2-like: 4 window rows, ib=2
+])
+def test_raw_flavor_matches_xla_equivalent(shape, h, shift, ib):
+    """fused_swin_block_raw on the UN-PARTITIONED map == partition +
+    oracle + reverse, across stage geometries and shifts."""
+    from mmrp_tpu.ops.fused_swin_block import fused_swin_block_raw
+
+    B, H, W, C = shape
+    ws = 7
+    p = _params(0, C, 2 * C, h, ws)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(shape).astype(np.float32))
+    xs = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+    bias = build_bias_padded(p["rel"], ws, H, W, shift)
+    args = (p["ln0_s"], p["ln0_b"], p["qkv_k"], p["qkv_b"],
+            p["proj_k"], p["proj_b"], p["ln1_s"], p["ln1_b"],
+            p["w1"], p["b1"], p["w2"], p["b2"])
+    got = fused_swin_block_raw(xs, *args, bias, h, ws, image_block=ib,
+                               interpret=True)
+    xw = window_partition(xs, ws)
+    want = window_reverse(
+        xla_equivalent(xw, *args, bias, num_heads=h), ws, H, W)
+    assert got.shape == xs.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_raw_flavor_grad_matches_oracle():
+    """Custom VJP of the raw flavor == autodiff through the oracle chain."""
+    from mmrp_tpu.ops.fused_swin_block import fused_swin_block_raw
+
+    B, H, W, C, h, ws = 2, 14, 14, 32, 4, 7
+    p = _params(2, C, 2 * C, h, ws)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((B, H, W, C)).astype(np.float32))
+    bias = build_bias_padded(p["rel"], ws, H, W, 0)
+    args = (p["ln0_s"], p["ln0_b"], p["qkv_k"], p["qkv_b"],
+            p["proj_k"], p["proj_b"], p["ln1_s"], p["ln1_b"],
+            p["w1"], p["b1"], p["w2"], p["b2"])
+
+    def f_raw(x_):
+        return fused_swin_block_raw(x_, *args, bias, h, ws,
+                                    interpret=True).sum()
+
+    def f_ref(x_):
+        xw = window_partition(x_, ws)
+        return window_reverse(
+            xla_equivalent(xw, *args, bias, num_heads=h), ws, H, W).sum()
+
+    g_raw = jax.grad(f_raw)(x)
+    g_ref = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_raw), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_swinblock_raw_env_matches_default(monkeypatch):
+    """SwinBlock whole-block route with MMRP_SWIN_RAW=1 == default route."""
+    monkeypatch.setenv("MMRP_FORCE_PALLAS", "1")
+    monkeypatch.setenv("MMRP_SWIN_WHOLE", "1")
+    monkeypatch.setenv("MMRP_SWIN_WHOLE_MINC", "32")
+    B, H, W, C, h = 2, 14, 14, 32, 4
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((B, H, W, C)).astype(np.float32))
+    blk = SwinBlock(dim=C, num_heads=h, window_size=7, shift=3,
+                    input_resolution=(H, W), mlp_ratio=2.0, drop_path=0.0,
+                    dropout=0.0, use_pallas=True)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    want = blk.apply(params, x)
+    monkeypatch.setenv("MMRP_SWIN_RAW", "1")
+    got = blk.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
