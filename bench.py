@@ -196,8 +196,8 @@ def main() -> None:
 
     quant = os.environ.get("BENCH_QUANT", "int8")
     dtype_tag = "int8-serve" if quant.startswith("int8") else "bf16"
-    details = {"backend": backend, "batch": batch, "text_len": text_len,
-               "attention_path": key, "quant": quant,
+    details = {"backend": backend, "swin": swin_name, "batch": batch,
+               "text_len": text_len, "attention_path": key, "quant": quant,
                "method": "chained-scan, scalar fetch"}
     throughput = 0.0
     try:
