@@ -222,7 +222,8 @@ def main() -> None:
                       ("BENCH_TRAIN_FLAGSHIP.json", "train_step_flagship"),
                       ("BENCH_FLAGSHIP.json", "flagship_embed"),
                       ("BENCH_EXPLAIN.json", "explain"),
-                      ("BENCH_STREAM.json", "stream")):
+                      ("BENCH_STREAM.json", "stream"),
+                      ("BENCH_KG.json", "kg_train")):
         p = os.path.join(here, side)
         if os.path.exists(p):
             try:
