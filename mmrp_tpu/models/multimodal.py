@@ -348,20 +348,33 @@ class MultiModalRetrievalModel(nn.Module):
     @nn.compact
     def __call__(
         self,
-        image: jnp.ndarray,  # (B, H, W, 3)
+        image: Optional[jnp.ndarray],  # (B, H, W, 3); None iff `features` given
         input_ids: jnp.ndarray,  # (B, Lt)
         attention_mask: jnp.ndarray,  # (B, Lt)
         deterministic: bool = True,
         return_attention: bool = False,
         patch_delta: Optional[jnp.ndarray] = None,
         txt_delta: Optional[jnp.ndarray] = None,
+        features: Optional[Dict[str, jnp.ndarray]] = None,
+        return_features: bool = False,
     ) -> Dict[str, Any]:
+        """``features`` (keys img_patches/img_global/txt_tokens/txt_cls, the
+        raw pre-projection backbone outputs) skips the backbones and runs
+        projections + fusion + classifier only — the explain engine's
+        patch-level IG interpolates these features and recomputes just this
+        head per step, exactly like the reference's captum forward
+        (reference src/Model/explain.py:121-168,378-390) instead of paying
+        n_steps full backbone passes. ``return_features`` exposes the raw
+        backbone outputs so one forward can seed that path."""
         cfg = self.config
         D = cfg.joint_dim
 
-        feats = Backbones(cfg, dtype=self.dtype, name="backbones")(
-            image, input_ids, attention_mask, deterministic
-        )
+        if features is not None:
+            feats = features
+        else:
+            feats = Backbones(cfg, dtype=self.dtype, name="backbones")(
+                image, input_ids, attention_mask, deterministic
+            )
 
         img_patches = nn.Dense(D, dtype=self.dtype, name="img_proj")(feats["img_patches"])
         if patch_delta is not None:
@@ -464,4 +477,6 @@ class MultiModalRetrievalModel(nn.Module):
         }
         if return_attention:
             out["attention"] = attn_maps
+        if return_features:
+            out["features"] = feats
         return out

@@ -82,6 +82,62 @@ def test_integrated_gradients(setup):
     assert ig.std() > 0
 
 
+def test_features_path_matches_full_forward(setup):
+    """The features= forward (backbone skipped) must reproduce the full
+    forward exactly when fed that forward's own raw backbone outputs —
+    the contract the patch-level IG scan relies on."""
+    model, params, img, ids, mask = setup
+    mp = {"params": params["model"]}
+    full = model.apply(mp, jnp.asarray(img), jnp.asarray(ids),
+                       jnp.asarray(mask), return_features=True)
+    head = model.apply(mp, None, jnp.asarray(ids), jnp.asarray(mask),
+                       features=full["features"])
+    np.testing.assert_allclose(np.asarray(head["logits"]),
+                               np.asarray(full["logits"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(head["joint_emb"]),
+                               np.asarray(full["joint_emb"]), atol=1e-5)
+
+
+def test_patch_ig_matches_manual_loop(setup):
+    """Engine patch-level IG == a hand-rolled per-step Python loop with the
+    reference's semantics (interpolate raw patches, img_global = patch
+    mean, text fixed, L1 over embed dim)."""
+    model, params, img, ids, mask = setup
+    eng = ExplanationEngine(model, params, image_hw=(28, 28))
+    n_steps, target = 4, 3
+    got = eng.integrated_gradients(img, ids, mask, target=target,
+                                   n_steps=n_steps)
+
+    mp = {"params": params["model"]}
+    full = model.apply(mp, jnp.asarray(img), jnp.asarray(ids),
+                       jnp.asarray(mask), return_features=True)
+    feats = full["features"]
+    patches = feats["img_patches"].astype(jnp.float32)
+
+    def logit_of(ip):
+        f = dict(feats, img_patches=ip, img_global=ip.mean(axis=1))
+        o = model.apply(mp, None, jnp.asarray(ids), jnp.asarray(mask),
+                        features=f)
+        return o["logits"][:, target].sum()
+
+    total = jnp.zeros_like(patches)
+    for s in range(n_steps):
+        alpha = (s + 0.5) / n_steps
+        total = total + jax.grad(logit_of)(patches * alpha)
+    att = jnp.abs(patches * total / n_steps).sum(-1)
+    want = np.asarray(patch_vector_to_map(att, int(round(att.shape[-1] ** 0.5)),
+                                          (28, 28)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pixel_ig_variant(setup):
+    model, params, img, ids, mask = setup
+    eng = ExplanationEngine(model, params, image_hw=(28, 28))
+    ig = eng.integrated_gradients_pixels(img, ids, mask, target=3, n_steps=4)
+    assert ig.shape == (2, 28, 28)
+    assert np.isfinite(ig).all() and ig.std() > 0
+
+
 def test_grad_cam(setup):
     model, params, img, ids, mask = setup
     eng = ExplanationEngine(model, params, image_hw=(28, 28))

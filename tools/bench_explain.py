@@ -76,11 +76,19 @@ def main() -> None:
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
     )
 
+    ig_level = os.environ.get("BENCH_IG_LEVEL", "patch")  # patch | pixel
+
     def explain_once(params, image, ids, mask):
         """One explain pass: forward w/ attention maps + IG on each
         sample's top-1 predicted label (models/explain.py semantics,
-        inlined so the whole pass is a single jitted program)."""
-        out = model.apply(params, image, ids, mask, return_attention=True)
+        inlined so the whole pass is a single jitted program).
+
+        BENCH_IG_LEVEL=patch (default, the product/reference semantics:
+        backbone once, IG scan differentiates only the fusion head via the
+        features= path) or pixel (legacy full-model IG, n_steps backbone
+        fwd+bwd — the pre-round-3 measurement)."""
+        out = model.apply(params, image, ids, mask, return_attention=True,
+                          return_features=True)
         # attention map: layer+head mean of txt->img, token-masked mean
         t2i = jnp.stack([a["txt2img"] for a in out["attention"]]).mean(axis=(0, 2))
         w = mask[:, : t2i.shape[1]].astype(t2i.dtype)
@@ -89,19 +97,39 @@ def main() -> None:
         )  # (B, Np)
 
         targets = jnp.argmax(out["logits"], axis=1)  # per-sample top-1
-
-        def logit_of(im):
-            o = model.apply(params, im, ids, mask)
-            return jnp.take_along_axis(o["logits"], targets[:, None], axis=1).sum()
-
-        grad_fn = jax.grad(logit_of)
         alphas = (jnp.arange(ig_steps) + 0.5) / ig_steps
 
-        def body(acc, alpha):
-            return acc + grad_fn(image * alpha), None
+        if ig_level == "patch":
+            feats = out["features"]
+            patches = feats["img_patches"].astype(jnp.float32)
 
-        total, _ = jax.lax.scan(body, jnp.zeros_like(image), alphas)
-        ig = jnp.abs(image * total / ig_steps).sum(-1)  # (B, H, W)
+            def logit_of(ip):
+                f = dict(feats, img_patches=ip, img_global=ip.mean(axis=1))
+                o = model.apply(params, None, ids, mask, features=f)
+                return jnp.take_along_axis(
+                    o["logits"], targets[:, None], axis=1).sum()
+
+            grad_fn = jax.grad(logit_of)
+
+            def body(acc, alpha):
+                return acc + grad_fn(patches * alpha), None
+
+            total, _ = jax.lax.scan(body, jnp.zeros_like(patches), alphas)
+            ig = jnp.abs(patches * total / ig_steps).sum(-1)  # (B, Np)
+        else:
+
+            def logit_of(im):
+                o = model.apply(params, im, ids, mask)
+                return jnp.take_along_axis(
+                    o["logits"], targets[:, None], axis=1).sum()
+
+            grad_fn = jax.grad(logit_of)
+
+            def body(acc, alpha):
+                return acc + grad_fn(image * alpha), None
+
+            total, _ = jax.lax.scan(body, jnp.zeros_like(image), alphas)
+            ig = jnp.abs(image * total / ig_steps).sum(-1)  # (B, H, W)
         return attn_map, ig
 
     def chained(params, img0, ids, mask):
@@ -127,6 +155,7 @@ def main() -> None:
         "batch": batch,
         "text_len": text_len,
         "ig_steps": ig_steps,
+        "ig_level": ig_level,
         "iters": iters,
         "attention_path": "pallas" if use_pallas else "xla",
         "explain_ms_per_batch": dt / iters * 1e3,
@@ -134,7 +163,8 @@ def main() -> None:
         "compile_s": compile_s,
         "backend": jax.default_backend(),
         "method": "chained-scan, scalar fetch; IG(top-1) as lax.scan + "
-                  "attention maps, one jitted program",
+                  "attention maps, one jitted program; patch = backbone "
+                  "once + fusion-head-only IG (reference granularity)",
     }
     out = REPO / "BENCH_EXPLAIN.json"
     existing = {}
@@ -143,7 +173,7 @@ def main() -> None:
             existing = json.loads(out.read_text())
         except ValueError:
             existing = {}
-    existing[f"{swin_name}_B{batch}_ig{ig_steps}"] = row
+    existing[f"{swin_name}_B{batch}_ig{ig_steps}_{ig_level}"] = row
     out.write_text(json.dumps(existing, indent=1))
     print(json.dumps(row, indent=1))
 
