@@ -28,6 +28,7 @@ planned at trace time, as XLA requires.
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 from dataclasses import dataclass
@@ -259,7 +260,11 @@ class KGTrainer:
 
         tx = optax.adam(cfg.lr)
 
-        @jax.jit
+        # donation lets XLA update the (E, dim) tables and adam moments in
+        # place — without it every step allocates a fresh params+opt tree
+        # (3x table bytes peak). Callers must not hold references to the
+        # passed-in buffers (train() copies best_params for this reason).
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, conf, rng):
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, conf, rng
@@ -327,7 +332,9 @@ class KGTrainer:
                 print(f"[KGTrainer] epoch {epoch} loss={epoch_loss:.4f} val={val}")
             if val["mrr"] > best["mrr"]:
                 best = {**val, "epoch": epoch}
-                best_params = jax.tree_util.tree_map(lambda x: x, self.params)
+                # real device copy, not an alias: train_step donates its
+                # params input, which would invalidate aliased buffers here
+                best_params = jax.tree_util.tree_map(jnp.copy, self.params)
                 bad_epochs = 0
             else:
                 bad_epochs += 1
