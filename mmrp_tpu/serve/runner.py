@@ -32,7 +32,27 @@ def build_demo_context(run_dir: str) -> Dict[str, Any]:
     cfg = Config.load(str(cfg_path)) if cfg_path.exists() else Config()
 
     tok = WordPieceTokenizer.from_vocab_file(str(run / "vocab.txt"))
-    mm_cfg = MultiModalConfig.from_config(cfg, num_classes=len(LABEL_COLS))
+
+    # rebuild the EXACT trained model shape. config.yaml alone is not
+    # enough when training pinned the text tower to a ported checkpoint
+    # (pretrained_bert) or ran flagship=True — train/runner.py snapshots
+    # the resolved shape into model_config.json; without honoring it the
+    # orbax restore below shape-mismatches and the fallback would serve
+    # random weights against a real-model gallery.
+    text_override, flagship = None, False
+    mc_path = run / "model_config.json"
+    if mc_path.exists():
+        from mmrp_tpu.models.text_encoder import TextConfig
+
+        mc = json.loads(mc_path.read_text())
+        flagship = bool(mc.get("flagship", False))
+        tdict = {k: v for k, v in mc.get("text", {}).items()
+                 if k not in ("quant", "remat")}
+        if tdict:
+            text_override = TextConfig(**tdict)
+    mm_cfg = MultiModalConfig.from_config(cfg, num_classes=len(LABEL_COLS),
+                                          flagship=flagship,
+                                          text_override=text_override)
     model = MultiModalRetrievalModel(mm_cfg)
 
     # parameter template for orbax restore
@@ -47,8 +67,16 @@ def build_demo_context(run_dir: str) -> Dict[str, Any]:
     mgr = CheckpointManager(str(run / "joint" / "ckpt"))
     try:
         params = {"model": mgr.restore_best({"model": dummy})["model"]}
-    except (FileNotFoundError, ValueError, KeyError):
-        params = {"model": dummy}  # fresh weights — demo still functions
+    except FileNotFoundError:
+        params = {"model": dummy}  # no checkpoint yet — demo still functions
+    except (ValueError, KeyError) as e:
+        # a checkpoint EXISTS but does not fit the rebuilt model — that is
+        # a config/shape bug, not a missing artifact; serving random
+        # weights against a trained gallery would be silent garbage
+        raise RuntimeError(
+            f"checkpoint in {mgr.dir} does not match the model shape "
+            f"rebuilt from {run}/config.yaml+model_config.json: {e}"
+        ) from e
 
     retriever = None
     reranker = None

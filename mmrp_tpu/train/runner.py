@@ -285,6 +285,20 @@ def run_training_pipeline(
                                           text_override=text_override)
     model = MultiModalRetrievalModel(mm_cfg)
 
+    # persist the RESOLVED model shape: config.yaml alone cannot reproduce
+    # the text tower when it was pinned to a ported checkpoint's dims
+    # (text_override) or when flagship=True was passed programmatically —
+    # serving (serve/runner.py) rebuilds from this, otherwise the orbax
+    # restore shape-mismatches and the demo would silently serve random
+    # weights (reference keeps architecture with the ckpt the same way:
+    # train_label_attention.py:365-374)
+    (out / "model_config.json").write_text(json.dumps({
+        "flagship": flagship,
+        "vision_backbone": mm_cfg.vision_backbone,
+        "text": {k: v for k, v in _dc.asdict(mm_cfg.text).items()
+                 if k not in ("quant", "remat")},
+    }, indent=1))
+
     # warm-start the joint towers: finetuned Swin (stage 1) takes priority
     # over the raw pretrained checkpoint; text from the ported BERT
     # (reference fusion.py:92-99 — joint training always starts from

@@ -306,3 +306,65 @@ def test_label_attention_stage_writes_servable_ckpt(tmp_path):
     _run_label_attention_stage(cfg, tmp_path, {"train": recs}, node_emb,
                                node2id, writer=None)
     assert (tmp_path / "label_attention.npz").stat().st_mtime_ns == before
+
+
+def test_serve_rebuilds_overridden_text_tower(tmp_path):
+    """Serving must rebuild the EXACT trained model shape from
+    model_config.json: a run trained with a pretrained-pinned text tower
+    (text_override) restores into that shape, and a shape-mismatched
+    checkpoint raises instead of silently serving random weights
+    (regression: the ValueError fallback used to hand back fresh init)."""
+    import dataclasses
+    import yaml
+
+    from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
+    from mmrp_tpu.models.text_encoder import TextConfig
+    from mmrp_tpu.serve.runner import build_demo_context
+    from mmrp_tpu.utils.checkpoint import CheckpointManager
+
+    run = tmp_path / "run"
+    run.mkdir()
+    cfg = Config(image_backbone="swin_micro", image_size=28, joint_dim=32,
+                 num_fusion_layers=1, num_heads=2, text_dim=16,
+                 use_pallas_attention=False)
+    (run / "config.yaml").write_text(yaml.safe_dump(
+        {k: v for k, v in cfg.to_dict().items() if k != "run_name"}))
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"tok{i}" for i in range(91)
+    ]
+    (run / "vocab.txt").write_text("\n".join(vocab) + "\n")
+
+    # the trained tower: dims a ported checkpoint would pin (NOT the
+    # TextConfig.small defaults config.yaml alone would produce)
+    text_override = TextConfig(
+        vocab_size=96, hidden_dim=48, num_layers=2, num_heads=2,
+        intermediate_dim=80, max_positions=48, use_fused_attention=False,
+    )
+    mm_cfg = MultiModalConfig.from_config(
+        cfg, num_classes=len(LABEL_COLS), text_override=text_override)
+    model = MultiModalRetrievalModel(mm_cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 28, 28, 3)), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+    )["params"]
+    (run / "model_config.json").write_text(json.dumps({
+        "flagship": False,
+        "vision_backbone": mm_cfg.vision_backbone,
+        "text": {k: v for k, v in dataclasses.asdict(mm_cfg.text).items()
+                 if k not in ("quant", "remat")},
+    }))
+    mgr = CheckpointManager(str(run / "joint" / "ckpt"))
+    assert mgr.update_best(1.0, {"model": params}, {})
+
+    ctx = build_demo_context(str(run))
+    got = ctx["predictor"].params["model"]
+    want_sum = float(sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(params)))
+    got_sum = float(sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(got)))
+    assert got_sum == pytest.approx(want_sum, rel=1e-6)
+
+    # without the snapshot the rebuilt template mismatches the checkpoint:
+    # that must be a loud error, not a fresh-weights fallback
+    (run / "model_config.json").unlink()
+    with pytest.raises(RuntimeError, match="does not match the model shape"):
+        build_demo_context(str(run))
