@@ -138,12 +138,20 @@ class ExplanationEngine:
         """(B, H, W, 3) -> (B, H, W) attribution map, patch-feature IG.
 
         Reference semantics (explain.py:343-427 + :121-168): interpolate the
-        raw backbone patches from a zero baseline, recompute
-        ``img_global = patches.mean(1)`` per step (our Swin global IS the
-        patch mean, models/swin.py:523), hold text features fixed, L1-reduce
-        the attribution over the embed dim, grid-reshape, normalize,
-        upsample. The backbone runs once; the scan differentiates only the
-        projection+fusion+classifier head."""
+        raw backbone patches from a zero baseline, hold text features fixed,
+        L1-reduce the attribution over the embed dim, grid-reshape,
+        normalize, upsample. The backbone runs once; the scan differentiates
+        only the projection+fusion+classifier head.
+
+        ``img_global`` along the path: for swin/resnet/efficientnet/medclip
+        the model's global IS the patch mean (swin.py:523, resnet.py:87,
+        efficientnet.py:117; medclip's bias-free linear head commutes with
+        the mean), so it is recomputed as ``patches.mean(1)`` — exact at
+        alpha=1 and gradients flow through the pooled path. For ``vit`` the
+        global is the CLS token (vit.py:88), NOT a function of the patches:
+        the true CLS vector is interpolated alongside the patches
+        (``g0 * alpha``) so the head still sees the exact features at
+        alpha=1; attribution remains over the patch path."""
         out_hw = self._hw(image)
         key = (n_steps, out_hw)
         if key not in self._ig:
@@ -156,9 +164,12 @@ class ExplanationEngine:
                 )
                 feats = out["features"]
                 patches = feats["img_patches"].astype(jnp.float32)  # (B, Np, E)
+                cls_global = self.model.config.vision_backbone == "vit"
+                g0 = feats["img_global"].astype(jnp.float32)
 
-                def logit_of(ip):
-                    f = dict(feats, img_patches=ip, img_global=ip.mean(axis=1))
+                def logit_of(ip, alpha):
+                    g = g0 * alpha if cls_global else ip.mean(axis=1)
+                    f = dict(feats, img_patches=ip, img_global=g)
                     o = self.model.apply(
                         mp, None, ids, mask, deterministic=True, features=f,
                     )
@@ -168,7 +179,7 @@ class ExplanationEngine:
                 alphas = (jnp.arange(n_steps) + 0.5) / n_steps
 
                 def body(acc, alpha):
-                    return acc + grad_fn(patches * alpha), None
+                    return acc + grad_fn(patches * alpha, alpha), None
 
                 total, _ = jax.lax.scan(body, jnp.zeros_like(patches), alphas)
                 att = jnp.abs(patches * total / n_steps).sum(-1)  # L1 over E

@@ -201,3 +201,50 @@ def test_token_attribution(setup):
     assert attr.shape == (2, 8)
     assert np.isfinite(attr).all()
     assert attr.min() >= 0 and attr.max() <= 1.0 + 1e-5
+
+
+def test_patch_ig_cls_global_backbone(rng):
+    """For a CLS-pooled backbone (vit) img_global is NOT the patch mean
+    (vit.py:88): the IG path must interpolate the TRUE global alongside the
+    patches (g0 * alpha) so the head sees the exact features at alpha=1
+    (regression: recomputing global as ip.mean attributed a different
+    function — silently wrong saliency for vit/medclip-family towers)."""
+    cfg = MultiModalConfig(
+        swin=SwinConfig(img_size=32, embed_dim=16, depths=(1,), num_heads=(2,),
+                        window_size=7, use_pallas=False),
+        text=MICRO_TEXT, vision_backbone="vit", joint_dim=16,
+        num_fusion_layers=1, num_heads=2, num_classes=8, max_text_len=8,
+    )
+    model = MultiModalRetrievalModel(cfg)
+    img = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = {"model": model.init(jax.random.PRNGKey(0), img, ids, mask)["params"]}
+
+    eng = ExplanationEngine(model, params, image_hw=(32, 32))
+    n_steps, target = 4, 3
+    got = eng.integrated_gradients(np.asarray(img), np.asarray(ids),
+                                   np.asarray(mask), target=target,
+                                   n_steps=n_steps)
+    assert got.shape == (2, 32, 32)
+    assert np.isfinite(got).all()
+
+    mp = {"params": params["model"]}
+    full = model.apply(mp, img, ids, mask, return_features=True)
+    feats = full["features"]
+    patches = feats["img_patches"].astype(jnp.float32)
+    g0 = feats["img_global"].astype(jnp.float32)
+
+    def logit_of(ip, alpha):
+        f = dict(feats, img_patches=ip, img_global=g0 * alpha)
+        o = model.apply(mp, None, ids, mask, features=f)
+        return o["logits"][:, target].sum()
+
+    total = jnp.zeros_like(patches)
+    for s in range(n_steps):
+        alpha = (s + 0.5) / n_steps
+        total = total + jax.grad(logit_of)(patches * alpha, alpha)
+    att = jnp.abs(patches * total / n_steps).sum(-1)
+    want = np.asarray(patch_vector_to_map(att, int(round(att.shape[-1] ** 0.5)),
+                                          (32, 32)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
