@@ -123,22 +123,13 @@ def cmd_eval_ret(args) -> int:
         from mmrp_tpu.eval.retrieval_eval import variant_eval
         from mmrp_tpu.labels import LABEL_COLS
         from mmrp_tpu.retrieval.rerank import Reranker
+        from mmrp_tpu.serve.runner import load_rerank_inputs
 
         labels_by_id, kg_kwargs = {}, {}
         if args.run_dir:
-            run = Path(args.run_dir)
-            records_p = run.parent / "records_cache.json"
-            if records_p.exists():
-                recs = json.loads(records_p.read_text())["records"]
-                labels_by_id = {
-                    r["id"]: np.asarray(r["labels"]) for r in recs
-                }
-            kg_dir = run / "kg"
-            if (kg_dir / "node_embeddings.npy").exists():
-                kg_kwargs = dict(
-                    kg_node_embeddings=np.load(kg_dir / "node_embeddings.npy"),
-                    kg_node2id=json.loads((kg_dir / "node2id.json").read_text()),
-                )
+            labels_by_id, _, kg_kwargs = load_rerank_inputs(
+                args.run_dir, data_dir=args.data
+            )
 
         def factory(a, b, c):
             return Reranker(alpha=a, beta=b, gamma=c,
@@ -174,7 +165,8 @@ def cmd_serve(args) -> int:
     from mmrp_tpu.serve.runner import build_demo_context
     from mmrp_tpu.serve.app import serve
 
-    serve(lambda: build_demo_context(args.run_dir), port=args.port)
+    serve(lambda: build_demo_context(args.run_dir, data_dir=args.data),
+          port=args.port)
     return 0
 
 
@@ -228,6 +220,10 @@ def main(argv=None) -> int:
     p.add_argument("--gt-test", required=True)
     p.add_argument("--gt-train", required=True)
     p.add_argument("-k", type=int, default=10)
+    p.add_argument("--data", default=None,
+                   help="data pipeline output dir (records_cache.json) for "
+                        "the reranker's label-overlap term; defaults to the "
+                        "run dir's parent")
     p.add_argument("--variants", action="store_true",
                    help="also run reranker ablations + paired significance")
     p.add_argument("--run-dir", default=None,
@@ -246,6 +242,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("serve", help="web demo")
     p.add_argument("--run-dir", required=True)
+    p.add_argument("--data", default=None,
+                   help="data pipeline output dir (records_cache.json); "
+                        "defaults to the run dir's parent")
     p.add_argument("--port", type=int, default=8000)
     p.set_defaults(fn=cmd_serve)
 

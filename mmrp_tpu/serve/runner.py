@@ -14,7 +14,45 @@ from typing import Any, Dict
 import numpy as np
 
 
-def build_demo_context(run_dir: str) -> Dict[str, Any]:
+def load_rerank_inputs(run_dir, data_dir=None, warn=True):
+    """Reranker inputs from a run: per-record labels (records_cache.json)
+    and KG node embeddings. Shared by serving and ``cli eval-ret``.
+
+    records_cache.json lives in the DATA pipeline's output dir — pass
+    ``data_dir`` when the run dir is not nested inside it (the
+    ``run.parent`` fallback matches the ``cli train --data D --out
+    D/train`` layout). A missing cache is warned about loudly: with empty
+    ``labels_by_id`` the reranker's label-overlap term silently vanishes
+    and ablation variants collapse toward the baseline.
+    """
+    run = Path(run_dir)
+    candidates = [Path(data_dir)] if data_dir else [run.parent, run]
+    labels_by_id: Dict[str, Any] = {}
+    records_by_id: Dict[str, Any] = {}
+    for c in candidates:
+        p = c / "records_cache.json"
+        if p.exists():
+            recs = json.loads(p.read_text())["records"]
+            labels_by_id = {r["id"]: np.asarray(r["labels"]) for r in recs}
+            records_by_id = {r["id"]: r for r in recs}
+            break
+    if warn and not labels_by_id:
+        print(
+            "[serve] WARNING: records_cache.json not found under "
+            f"{[str(c) for c in candidates]} — the reranker's label-overlap "
+            "term is disabled (point --data at the data pipeline output)"
+        )
+    kg_kwargs: Dict[str, Any] = {}
+    kg_dir = run / "kg"
+    if (kg_dir / "node_embeddings.npy").exists():
+        kg_kwargs = dict(
+            kg_node_embeddings=np.load(kg_dir / "node_embeddings.npy"),
+            kg_node2id=json.loads((kg_dir / "node2id.json").read_text()),
+        )
+    return labels_by_id, records_by_id, kg_kwargs
+
+
+def build_demo_context(run_dir: str, data_dir: str = None) -> Dict[str, Any]:
     import jax
 
     from mmrp_tpu.api import MMRPredictor
@@ -80,21 +118,12 @@ def build_demo_context(run_dir: str) -> Dict[str, Any]:
 
     retriever = None
     reranker = None
+    labels_by_id, records_by_id, kg_kwargs = load_rerank_inputs(
+        run, data_dir=data_dir
+    )
     emb_p, ids_p = run / "train_embeddings.npy", run / "train_ids.json"
     if emb_p.exists() and ids_p.exists():
         retriever = RetrievalEngine.from_files(str(emb_p), str(ids_p))
-        records_p = run.parent / "records_cache.json"
-        labels_by_id = {}
-        if records_p.exists():
-            recs = json.loads(records_p.read_text())["records"]
-            labels_by_id = {r["id"]: np.asarray(r["labels"]) for r in recs}
-        kg_dir = run / "kg"
-        kg_kwargs = {}
-        if (kg_dir / "node_embeddings.npy").exists():
-            kg_kwargs = dict(
-                kg_node_embeddings=np.load(kg_dir / "node_embeddings.npy"),
-                kg_node2id=json.loads((kg_dir / "node2id.json").read_text()),
-            )
         # attention pooling of label-node vectors when a LabelAttention
         # checkpoint exists (reference reranker.py:61-86)
         label_pooler = None
@@ -128,13 +157,8 @@ def build_demo_context(run_dir: str) -> Dict[str, Any]:
     predictor = MMRPredictor(model, params, LABEL_COLS, retriever, reranker,
                              threshold=threshold)
 
-    # record map for per-retrieved-item detail (reference app.py:449-630)
-    records_by_id = {}
-    records_p = run.parent / "records_cache.json"
-    if records_p.exists():
-        recs = json.loads(records_p.read_text())["records"]
-        records_by_id = {r["id"]: r for r in recs}
-
+    # records_by_id feeds the per-retrieved-item detail panel
+    # (reference app.py:449-630)
     return {
         "predictor": predictor,
         "tokenizer": tok,

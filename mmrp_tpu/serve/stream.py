@@ -196,7 +196,7 @@ def run_stream(
     from mmrp_tpu.data.dataset import ChestXRDataset, build_dataloader
     from mmrp_tpu.serve.runner import build_demo_context
 
-    ctx = build_demo_context(run_dir)
+    ctx = build_demo_context(run_dir, data_dir=data_dir)
     predictor = ctx["predictor"]
     run = Path(run_dir)
     data = Path(data_dir)

@@ -121,3 +121,41 @@ def test_http_error_paths():
         conn.close()
     finally:
         server.shutdown()
+
+
+def test_load_rerank_inputs_explicit_data_dir(tmp_path, capsys):
+    """records_cache.json resolution: explicit --data wins, run.parent is
+    the fallback, and a miss warns loudly (regression: eval-ret --variants
+    silently ran with empty labels_by_id when the run dir was not nested
+    in the data dir, collapsing every ablation toward baseline)."""
+    import json
+
+    import numpy as np
+
+    from mmrp_tpu.serve.runner import load_rerank_inputs
+
+    data = tmp_path / "data"
+    data.mkdir()
+    recs = [{"id": "r0", "labels": [1, 0, 1], "report_text": "t"}]
+    (data / "records_cache.json").write_text(json.dumps({"records": recs}))
+    run = tmp_path / "elsewhere" / "run"
+    run.mkdir(parents=True)
+
+    # explicit data_dir: found even though run.parent has no cache
+    labels, records, kg = load_rerank_inputs(run, data_dir=str(data))
+    assert set(labels) == {"r0"}
+    np.testing.assert_array_equal(labels["r0"], [1, 0, 1])
+    assert records["r0"]["report_text"] == "t"
+    assert kg == {}
+
+    # no data_dir, nothing at run.parent: empty + loud warning
+    capsys.readouterr()
+    labels, records, kg = load_rerank_inputs(run)
+    assert labels == {} and records == {}
+    assert "records_cache.json not found" in capsys.readouterr().out
+
+    # run.parent fallback (the cli train --out D/train layout)
+    (run.parent / "records_cache.json").write_text(
+        json.dumps({"records": recs}))
+    labels, _, _ = load_rerank_inputs(run)
+    assert set(labels) == {"r0"}
