@@ -37,8 +37,10 @@ def paired_tests(
 
     Returns mean_delta (mean(a-b)), t/p from the paired t-test,
     Wilcoxon p, and the bootstrap 95% CI of the mean delta. Degenerate
-    inputs (all-equal deltas, <2 queries) return NaN p-values rather
-    than raising, mirroring eval/metrics.py's safe_* conventions.
+    inputs return defined values rather than raising (mirroring
+    eval/metrics.py's safe_* conventions): <2 queries -> NaN p-values;
+    all-zero deltas -> p=1; constant nonzero deltas -> the exact
+    sign-test p (zero variance is maximal evidence, not NaN).
     """
     from scipy import stats
 
@@ -69,6 +71,16 @@ def paired_tests(
     elif np.all(d == 0):
         # identical rankings: no evidence of difference
         out["p_ttest"] = out["p_wilcoxon"] = 1.0
+    else:
+        # constant NONZERO delta (ptp==0, d!=0): zero variance makes the
+        # t statistic infinite, not undefined — every query moved the same
+        # direction, the strongest possible paired evidence (realistic for
+        # quantized metrics like P@K on small query sets). Report the
+        # exact two-sided sign-test value, 2 * (1/2)^n, which equals the
+        # Wilcoxon signed-rank p for n same-signed equal-magnitude deltas.
+        p_exact = min(1.0, 2.0 ** (1 - n))
+        out["t"] = float(np.sign(d[0]) * np.inf)
+        out["p_ttest"] = out["p_wilcoxon"] = float(p_exact)
 
     rng = np.random.default_rng(seed)
     idx = rng.integers(0, n, size=(n_boot, n))

@@ -96,6 +96,17 @@ def test_paired_significance_detects_shift(rng):
     noise = paired_tests(b + rng.standard_normal(64) * 1e-3, b)
     assert noise["p_ttest"] > 1e-6 or abs(noise["mean_delta"]) < 1e-3
 
+    # constant NONZERO delta (zero variance): maximal paired evidence,
+    # exact sign-test p, not NaN (regression: quantized metrics like P@K
+    # on small query sets produce exactly-equal deltas)
+    const = paired_tests(np.full(16, 0.6), np.full(16, 0.5))
+    assert const["mean_delta"] == pytest.approx(0.1)
+    assert const["p_ttest"] == pytest.approx(2.0 ** -15)
+    assert const["p_wilcoxon"] == pytest.approx(2.0 ** -15)
+    assert const["t"] == np.inf and const["ci95_lo"] > 0
+    down = paired_tests(np.full(3, 0.2), np.full(3, 0.5))
+    assert down["t"] == -np.inf and down["p_ttest"] == pytest.approx(0.25)
+
     out = compare_variants({"baseline": {"AP": b}, "v": {"AP": a}},
                            metrics=("AP",))
     assert out["v"]["AP"]["p_ttest"] < 1e-6

@@ -202,6 +202,12 @@ def main() -> None:
                 result["rows"].update(prev.get("rows", {}))
         except (OSError, ValueError):
             pass
+    # best_* must compare only rows measured in THIS process: absolute
+    # times drift across sessions (CLAUDE.md chip-state drift — the same
+    # graph measured 17.5 vs 27.5 ms hours apart), so a stale fast row
+    # from a merged earlier sweep must never win over a fresh one
+    fresh = set()
+    result["best_note"] = "best_* over this session's rows only (drift)"
     for spec in specs.split(","):
         v = parse_variant(spec)
         try:
@@ -217,9 +223,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record OOMs, keep sweeping
             row = {"error": repr(e)[:300]}
         result["rows"][v["name"]] = row
+        fresh.add(v["name"])
         best_name, best = max(
             ((n, r) for n, r in result["rows"].items()
-             if "train_pairs_per_sec" in r),
+             if n in fresh and "train_pairs_per_sec" in r),
             key=lambda nr: nr[1]["train_pairs_per_sec"],
             default=(None, None),
         )
