@@ -61,6 +61,62 @@ def _select_logits(logits: jnp.ndarray, target_idx) -> jnp.ndarray:
     return jnp.take_along_axis(logits, t[:, None], axis=1).sum()
 
 
+def _attention_reductions(
+    attn: Sequence[Dict[str, jnp.ndarray]],
+    tmask: jnp.ndarray,
+    out_hw: Tuple[int, int],
+) -> Dict[str, jnp.ndarray]:
+    """Layer/head-averaged cross-attention maps (reference
+    explain.py:429-798,885-923). Pure jnp — usable eagerly
+    (attention_maps) or inside a jitted program (explain_batch).
+
+    Reductions are chosen to be non-degenerate under a MASKED softmax
+    (our fusion masks padded keys, so every attention row sums to 1 over
+    valid keys):
+
+    - patch map from txt2img: attention each patch receives, averaged
+      over valid query tokens (reference explain.py:481-484 mean-over-
+      queries case) — varies per patch;
+    - patch map from img2txt: per-patch MAX over tokens (concentration;
+      the reference's supported "max" reduction, explain.py:471-479 —
+      its "mean" flavor is constant 1/Lk once rows are re-normalized by
+      a masked softmax, which the reference itself detects and drops via
+      its constant-map fallback, explain.py:860-870);
+    - token vector: attention each token receives from patch queries in
+      img2txt (reference img2txt_to_token_vector, explain.py:721-737),
+      NOT mean-over-patches of txt2img (constant 1/Np by row-stochastics).
+    """
+    n_patches = attn[0]["txt2img"].shape[-1]
+    grid = int(round(n_patches**0.5))
+
+    # txt->img: (B, h, Lt, Np) -> mask tokens -> mean heads+layers+tokens
+    t2i = jnp.stack([a["txt2img"] for a in attn]).mean(axis=(0, 2))  # (B, Lt, Np)
+    Lt = t2i.shape[1]
+    w = tmask[:, :Lt]
+    t2i = (t2i * w[:, :, None]).sum(1) / jnp.maximum(w.sum(1, keepdims=True), 1.0)
+
+    # img->txt: per-patch concentration = max over (valid) tokens; padded
+    # keys carry ~0 post-softmax mass so masking the max is a no-op.
+    i2t = jnp.stack([a["img2txt"] for a in attn]).mean(axis=(0, 2))  # (B, Np, Lt)
+    i2t_patch = i2t.max(axis=-1)  # (B, Np)
+
+    primary = patch_vector_to_map(t2i, grid, out_hw)
+    secondary = patch_vector_to_map(i2t_patch, grid, out_hw)
+    final = _normalize01(0.6 * primary + 0.4 * secondary)  # explain.py:885-923
+
+    # token-level attention (web demo token HTML): mass received from
+    # patch queries, masked, max-normalized.
+    tok = i2t.mean(axis=1)  # (B, Lt)
+    tok = tok * w
+    tok = tok / jnp.maximum(tok.max(axis=1, keepdims=True), 1e-8)
+    return {
+        "attn_txt2img": primary,
+        "attn_img2txt": secondary,
+        "attn_final": final,
+        "token_attention": tok,
+    }
+
+
 class ExplanationEngine:
     """Wraps (model, params). All heavy paths are jitted once per shape."""
 
@@ -78,6 +134,7 @@ class ExplanationEngine:
         self._fwd = jax.jit(fwd)
         self._ig = {}
         self._gradcam = {}
+        self._full = {}
 
     def _hw(self, image) -> Tuple[int, int]:
         return tuple(self.image_hw) if self.image_hw else tuple(image.shape[1:3])
@@ -94,36 +151,11 @@ class ExplanationEngine:
             self.params, jnp.asarray(image), jnp.asarray(input_ids),
             jnp.asarray(attention_mask),
         )
-        attn = out["attention"]
-        n_patches = attn[0]["txt2img"].shape[-1]
-        grid = int(round(n_patches**0.5))
-        tmask = jnp.asarray(attention_mask, jnp.float32)
-
-        # txt->img: (B, h, Lt, Np) -> mask tokens -> mean heads+layers+tokens
-        t2i = jnp.stack([a["txt2img"] for a in attn]).mean(axis=(0, 2))  # (B, Lt, Np)
-        Lt = t2i.shape[1]
-        w = tmask[:, :Lt]
-        t2i = (t2i * w[:, :, None]).sum(1) / jnp.maximum(w.sum(1, keepdims=True), 1.0)
-
-        # img->txt salience per patch: how much each patch attends to real text
-        i2t = jnp.stack([a["img2txt"] for a in attn]).mean(axis=(0, 2))  # (B, Np, Lt)
-        i2t = (i2t * w[:, None, : i2t.shape[-1]]).sum(-1)  # (B, Np)
-
-        out_hw = self._hw(image)
-        primary = patch_vector_to_map(t2i, grid, out_hw)
-        secondary = patch_vector_to_map(i2t, grid, out_hw)
-        final = _normalize01(0.6 * primary + 0.4 * secondary)  # explain.py:885-923
-
-        # token-level attention (for the web demo's token HTML)
-        tok = jnp.stack([a["txt2img"] for a in attn]).mean(axis=(0, 2, 4))  # (B, Lt)
-        tok = tok * w
-        tok = tok / jnp.maximum(tok.max(axis=1, keepdims=True), 1e-8)
-        return {
-            "attn_txt2img": np.asarray(primary),
-            "attn_img2txt": np.asarray(secondary),
-            "attn_final": np.asarray(final),
-            "token_attention": np.asarray(tok),
-        }
+        maps = _attention_reductions(
+            out["attention"], jnp.asarray(attention_mask, jnp.float32),
+            self._hw(image),
+        )
+        return {k: np.asarray(v) for k, v in maps.items()}
 
     # -- integrated gradients (explain.py:302-427) ------------------------------
 
@@ -333,6 +365,96 @@ class ExplanationEngine:
                 jnp.asarray(attention_mask), target,
             )
         )
+
+    # -- combined single-forward explain ---------------------------------------
+
+    def explain_batch(
+        self,
+        image: np.ndarray,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        n_steps: int = 50,
+    ) -> Dict[str, np.ndarray]:
+        """Everything the serve detail panel needs, ONE backbone forward.
+
+        One jitted program: full forward (attention + raw features), probs,
+        per-sample top-1 targets in-graph, then patch-level IG and Grad-CAM
+        both reusing that forward's features — where calling embed /
+        attention_maps / integrated_gradients / grad_cam separately pays
+        FOUR backbone passes over the batch (reference app.py:449-630 runs
+        K *sequential* full predicts instead). Returns probs, joint_emb,
+        targets, the attention_maps dict, "ig", and "grad_cam"."""
+        out_hw = self._hw(image)
+        key = (n_steps, out_hw)
+        if key not in self._full:
+            cls_global = self.model.config.vision_backbone == "vit"
+
+            @jax.jit
+            def full_fn(params, image, ids, mask):
+                mp = {"params": params["model"]} if "model" in params else {"params": params}
+                out = self.model.apply(
+                    mp, image, ids, mask, deterministic=True,
+                    return_attention=True, return_features=True,
+                )
+                maps = _attention_reductions(
+                    out["attention"], jnp.asarray(mask, jnp.float32), out_hw
+                )
+                targets = jnp.argmax(out["logits"], axis=1)  # per-sample top-1
+
+                feats = out["features"]
+                patches = feats["img_patches"].astype(jnp.float32)
+                g0 = feats["img_global"].astype(jnp.float32)
+
+                def ig_logit(ip, alpha):
+                    g = g0 * alpha if cls_global else ip.mean(axis=1)
+                    f = dict(feats, img_patches=ip, img_global=g)
+                    o = self.model.apply(
+                        mp, None, ids, mask, deterministic=True, features=f,
+                    )
+                    return _select_logits(o["logits"], targets)
+
+                grad_fn = jax.grad(ig_logit)
+                alphas = (jnp.arange(n_steps) + 0.5) / n_steps
+
+                def body(acc, alpha):
+                    return acc + grad_fn(patches * alpha, alpha), None
+
+                total, _ = jax.lax.scan(body, jnp.zeros_like(patches), alphas)
+                att = jnp.abs(patches * total / n_steps).sum(-1)
+                ig = patch_vector_to_map(
+                    att, int(round(att.shape[-1] ** 0.5)), out_hw
+                )
+
+                acts = out["img_patches_proj"]
+
+                def cam_logit(delta):
+                    o = self.model.apply(
+                        mp, None, ids, mask, deterministic=True,
+                        features=feats, patch_delta=delta,
+                    )
+                    return _select_logits(o["logits"], targets)
+
+                grads = jax.grad(cam_logit)(jnp.zeros_like(acts))
+                weights = grads.mean(axis=1, keepdims=True)  # (B, 1, D)
+                cam = jax.nn.relu((weights * acts).sum(-1))  # (B, Np)
+                cam_map = patch_vector_to_map(
+                    cam, int(round(cam.shape[-1] ** 0.5)), out_hw
+                )
+                return dict(
+                    maps,
+                    probs=jax.nn.sigmoid(out["logits"]),
+                    joint_emb=out["joint_emb"],
+                    targets=targets,
+                    ig=ig,
+                    grad_cam=cam_map,
+                )
+
+            self._full[key] = full_fn
+        out = self._full[key](
+            self.params, jnp.asarray(image), jnp.asarray(input_ids),
+            jnp.asarray(attention_mask),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
 
     # -- orchestration (explain.py:800-976) -------------------------------------------
 

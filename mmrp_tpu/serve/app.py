@@ -247,21 +247,21 @@ def run_inference(ctx: DemoContext, dicom_bytes: bytes, text: str,
             r_img = np.stack(imgs)
             r_ids = np.stack(idss)
             r_mask = np.stack(masks)
-            emb = predictor.embed(r_img, r_ids, r_mask)
-            targets = np.argmax(emb["probs"], axis=1)  # per-item top-1 class
-            ex = predictor.explainer
-            r_attn = ex.attention_maps(r_img, r_ids, r_mask)
-            r_ig = ex.integrated_gradients(r_img, r_ids, r_mask, targets)
-            r_cam = ex.grad_cam(r_img, r_ids, r_mask, targets)
+            # ONE backbone forward seeds probs, embeddings, attention, IG
+            # (per-item top-1 targets in-graph) and Grad-CAM — vs four
+            # (embed + attn + IG probe + CAM probe), halving detail latency
+            # on the measured flagship explain path (BENCH_EXPLAIN.json)
+            full = predictor.explainer.explain_batch(r_img, r_ids, r_mask)
+            r_probs, r_ig, r_cam = full["probs"], full["ig"], full["grad_cam"]
             names = predictor.label_names
             for b, (rid, score, rec) in enumerate(items):
                 r_base = (r_img[b, :, :, 0] + 1.0) / 2.0
-                fin = r_attn["attn_final"][b]
-                order = np.argsort(-emb["probs"][b])[:5]
+                fin = full["attn_final"][b]
+                order = np.argsort(-r_probs[b])[:5]
                 details.append({
                     "id": rid,
                     "score": score,
-                    "top_labels": [(names[i], float(emb["probs"][b, i]))
+                    "top_labels": [(names[i], float(r_probs[b, i]))
                                    for i in order],
                     "overlay": _png_base64(r_base, fin),
                     "overlay_ig": _png_base64(r_base, r_ig[b]),
@@ -276,7 +276,7 @@ def run_inference(ctx: DemoContext, dicom_bytes: bytes, text: str,
             payload["retrieval_detail"] = details
             if len(items) >= 2:
                 payload["retrieval_diversity"] = embedding_diversity(
-                    np.stack([emb["joint_emb"][b] for b in range(len(items))])
+                    full["joint_emb"][: len(items)]
                 )
                 lbls = [rec.get("labels") for _, _, rec in items]
                 if all(l is not None for l in lbls):

@@ -248,3 +248,28 @@ def test_patch_ig_cls_global_backbone(rng):
     want = np.asarray(patch_vector_to_map(att, int(round(att.shape[-1] ** 0.5)),
                                           (32, 32)))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_explain_batch_matches_separate_calls(setup):
+    """The single-forward combined program (serve detail path) must equal
+    the separate attention_maps / integrated_gradients / grad_cam calls
+    and the model's own probs, for each sample's top-1 target."""
+    model, params, img, ids, mask = setup
+    eng = ExplanationEngine(model, params, image_hw=(28, 28))
+    full = eng.explain_batch(img, ids, mask, n_steps=4)
+
+    want_logits = model.apply({"params": params["model"]}, jnp.asarray(img),
+                              jnp.asarray(ids), jnp.asarray(mask))["logits"]
+    targets = np.argmax(np.asarray(want_logits), axis=1)
+    np.testing.assert_array_equal(full["targets"], targets)
+    np.testing.assert_allclose(
+        full["probs"], np.asarray(jax.nn.sigmoid(want_logits)), atol=1e-5)
+
+    attn = eng.attention_maps(img, ids, mask)
+    for k in ("attn_txt2img", "attn_img2txt", "attn_final", "token_attention"):
+        np.testing.assert_allclose(full[k], attn[k], atol=1e-5)
+
+    ig = eng.integrated_gradients(img, ids, mask, targets, n_steps=4)
+    np.testing.assert_allclose(full["ig"], ig, atol=2e-4)
+    cam = eng.grad_cam(img, ids, mask, targets)
+    np.testing.assert_allclose(full["grad_cam"], cam, atol=2e-4)
