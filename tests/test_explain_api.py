@@ -250,6 +250,18 @@ def test_patch_ig_cls_global_backbone(rng):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_ig_chunked_matches_sequential(setup):
+    """Folding k alphas into the batch dim must not change the IG map:
+    chunk=1 (the original sequential scan) vs chunk=2 and chunk=4 on the
+    same 4-step path."""
+    model, params, img, ids, mask = setup
+    eng = ExplanationEngine(model, params, image_hw=(28, 28))
+    base = eng.integrated_gradients(img, ids, mask, 1, n_steps=4, chunk=1)
+    for k in (2, 4):
+        got = eng.integrated_gradients(img, ids, mask, 1, n_steps=4, chunk=k)
+        np.testing.assert_allclose(got, base, atol=2e-4)
+
+
 def test_explain_batch_matches_separate_calls(setup):
     """The single-forward combined program (serve detail path) must equal
     the separate attention_maps / integrated_gradients / grad_cam calls

@@ -77,105 +77,111 @@ def main() -> None:
     )
 
     ig_level = os.environ.get("BENCH_IG_LEVEL", "patch")  # patch | pixel
+    # chunk sweep, back-to-back in ONE process (drift-free A/B): alphas
+    # folded into the batch dim per scan step (models/explain.py::
+    # ig_patch_attribution). chunk=1 is the round-3 sequential baseline.
+    chunks = [int(c) for c in
+              os.environ.get("BENCH_IG_CHUNKS", "1,5,10").split(",")]
 
-    def explain_once(params, image, ids, mask):
-        """One explain pass: forward w/ attention maps + IG on each
-        sample's top-1 predicted label (models/explain.py semantics,
-        inlined so the whole pass is a single jitted program).
+    from mmrp_tpu.models.explain import _resolve_chunk, ig_patch_attribution
 
-        BENCH_IG_LEVEL=patch (default, the product/reference semantics:
-        backbone once, IG scan differentiates only the fusion head via the
-        features= path) or pixel (legacy full-model IG, n_steps backbone
-        fwd+bwd — the pre-round-3 measurement)."""
-        out = model.apply(params, image, ids, mask, return_attention=True,
-                          return_features=True)
-        # attention map: layer+head mean of txt->img, token-masked mean
-        t2i = jnp.stack([a["txt2img"] for a in out["attention"]]).mean(axis=(0, 2))
-        w = mask[:, : t2i.shape[1]].astype(t2i.dtype)
-        attn_map = (t2i * w[:, :, None]).sum(1) / jnp.maximum(
-            w.sum(1, keepdims=True), 1.0
-        )  # (B, Np)
+    def make_explain_once(ig_chunk):
+        def explain_once(params, image, ids, mask):
+            """One explain pass: forward w/ attention maps + IG on each
+            sample's top-1 predicted label (models/explain.py semantics,
+            one jitted program).
 
-        targets = jnp.argmax(out["logits"], axis=1)  # per-sample top-1
-        alphas = (jnp.arange(ig_steps) + 0.5) / ig_steps
+            BENCH_IG_LEVEL=patch (default, the product/reference
+            semantics: backbone once, IG scan differentiates only the
+            fusion head via the features= path) or pixel (legacy
+            full-model IG, n_steps backbone fwd+bwd — the pre-round-3
+            measurement)."""
+            out = model.apply(params, image, ids, mask, return_attention=True,
+                              return_features=True)
+            # attention map: layer+head mean of txt->img, token-masked mean
+            t2i = jnp.stack([a["txt2img"] for a in out["attention"]]).mean(axis=(0, 2))
+            w = mask[:, : t2i.shape[1]].astype(t2i.dtype)
+            attn_map = (t2i * w[:, :, None]).sum(1) / jnp.maximum(
+                w.sum(1, keepdims=True), 1.0
+            )  # (B, Np)
 
-        if ig_level == "patch":
-            feats = out["features"]
-            patches = feats["img_patches"].astype(jnp.float32)
+            targets = jnp.argmax(out["logits"], axis=1)  # per-sample top-1
 
-            def logit_of(ip):
-                f = dict(feats, img_patches=ip, img_global=ip.mean(axis=1))
-                o = model.apply(params, None, ids, mask, features=f)
-                return jnp.take_along_axis(
-                    o["logits"], targets[:, None], axis=1).sum()
+            if ig_level == "patch":
+                ig = ig_patch_attribution(
+                    model, params, out["features"], ids, mask, targets,
+                    ig_steps, chunk=ig_chunk,
+                )  # (B, Np)
+            else:
+                alphas = (jnp.arange(ig_steps) + 0.5) / ig_steps
 
-            grad_fn = jax.grad(logit_of)
+                def logit_of(im):
+                    o = model.apply(params, im, ids, mask)
+                    return jnp.take_along_axis(
+                        o["logits"], targets[:, None], axis=1).sum()
 
-            def body(acc, alpha):
-                return acc + grad_fn(patches * alpha), None
+                grad_fn = jax.grad(logit_of)
 
-            total, _ = jax.lax.scan(body, jnp.zeros_like(patches), alphas)
-            ig = jnp.abs(patches * total / ig_steps).sum(-1)  # (B, Np)
-        else:
+                def body(acc, alpha):
+                    return acc + grad_fn(image * alpha), None
 
-            def logit_of(im):
-                o = model.apply(params, im, ids, mask)
-                return jnp.take_along_axis(
-                    o["logits"], targets[:, None], axis=1).sum()
+                total, _ = jax.lax.scan(body, jnp.zeros_like(image), alphas)
+                ig = jnp.abs(image * total / ig_steps).sum(-1)  # (B, H, W)
+            return attn_map, ig
 
-            grad_fn = jax.grad(logit_of)
+        def chained(params, img0, ids, mask):
+            def body(img_c, _):
+                attn_map, ig = explain_once(params, img_c, ids, mask)
+                img_next = img_c + (attn_map.mean() + ig.mean()).astype(
+                    img_c.dtype) * 1e-12
+                return img_next, ()
 
-            def body(acc, alpha):
-                return acc + grad_fn(image * alpha), None
+            final, _ = jax.lax.scan(body, img0, None, length=iters)
+            return final.mean()
 
-            total, _ = jax.lax.scan(body, jnp.zeros_like(image), alphas)
-            ig = jnp.abs(image * total / ig_steps).sum(-1)  # (B, H, W)
-        return attn_map, ig
+        return jax.jit(chained)
 
-    def chained(params, img0, ids, mask):
-        def body(img_c, _):
-            attn_map, ig = explain_once(params, img_c, ids, mask)
-            img_next = img_c + (attn_map.mean() + ig.mean()).astype(
-                img_c.dtype) * 1e-12
-            return img_next, ()
-
-        final, _ = jax.lax.scan(body, img0, None, length=iters)
-        return final.mean()
-
-    fn = jax.jit(chained)
-    t0 = time.perf_counter()
-    _ = float(fn(params, img, ids, mask))  # compile + warm
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = float(fn(params, img, ids, mask))
-    dt = time.perf_counter() - t0
-
-    row = {
-        "swin": swin_name,
-        "batch": batch,
-        "text_len": text_len,
-        "ig_steps": ig_steps,
-        "ig_level": ig_level,
-        "iters": iters,
-        "attention_path": "pallas" if use_pallas else "xla",
-        "explain_ms_per_batch": dt / iters * 1e3,
-        "explain_images_per_sec": batch * iters / dt,
-        "compile_s": compile_s,
-        "backend": jax.default_backend(),
-        "method": "chained-scan, scalar fetch; IG(top-1) as lax.scan + "
-                  "attention maps, one jitted program; patch = backbone "
-                  "once + fusion-head-only IG (reference granularity)",
-    }
-    out = REPO / "BENCH_EXPLAIN.json"
+    out_path = REPO / "BENCH_EXPLAIN.json"
     existing = {}
-    if out.exists():
+    if out_path.exists():
         try:
-            existing = json.loads(out.read_text())
+            existing = json.loads(out_path.read_text())
         except ValueError:
             existing = {}
-    existing[f"{swin_name}_B{batch}_ig{ig_steps}_{ig_level}"] = row
-    out.write_text(json.dumps(existing, indent=1))
-    print(json.dumps(row, indent=1))
+
+    for chunk in chunks:
+        k = _resolve_chunk(ig_steps, chunk)
+        fn = make_explain_once(k)
+        t0 = time.perf_counter()
+        _ = float(fn(params, img, ids, mask))  # compile + warm
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(fn(params, img, ids, mask))
+        dt = time.perf_counter() - t0
+
+        row = {
+            "swin": swin_name,
+            "batch": batch,
+            "text_len": text_len,
+            "ig_steps": ig_steps,
+            "ig_chunk": k,
+            "ig_level": ig_level,
+            "iters": iters,
+            "attention_path": "pallas" if use_pallas else "xla",
+            "explain_ms_per_batch": dt / iters * 1e3,
+            "explain_images_per_sec": batch * iters / dt,
+            "compile_s": compile_s,
+            "backend": jax.default_backend(),
+            "method": "chained-scan, scalar fetch; IG(top-1) as lax.scan + "
+                      "attention maps, one jitted program; patch = backbone "
+                      "once + fusion-head-only IG (reference granularity); "
+                      "ig_chunk alphas folded into the batch dim per step",
+        }
+        suffix = "" if ig_level != "patch" else "_patch"
+        ck = "" if k == 1 else f"_c{k}"
+        existing[f"{swin_name}_B{batch}_ig{ig_steps}{suffix}{ck}"] = row
+        out_path.write_text(json.dumps(existing, indent=1))
+        print(json.dumps(row, indent=1))
 
 
 if __name__ == "__main__":
