@@ -256,6 +256,30 @@ class WindowAttention(nn.Module):
         y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
         y = y * ln_scale.astype(self.dtype) + ln_bias.astype(self.dtype)
 
+        if (
+            os.environ.get("MMRP_SWIN_CORE", "0") == "1"
+            and H % ws == 0 and W % ws == 0 and nW > 1
+        ):
+            # Raw-layout attention CORE with a hand-written backward
+            # kernel (ops/wattn_core.py): the qkv/proj GEMMs stay in XLA
+            # (they run AT the measured FLOP roof, docs/ROOFLINE.md §8),
+            # while roll + window partition/reverse + softmax live in one
+            # VMEM residency in BOTH directions — targeting the 18%
+            # layout-copy share of the flagship train step. At nW == 1
+            # (stage 4) the partition is a free reshape, so the XLA path
+            # below stays.
+            from mmrp_tpu.ops.fused_window_attention import build_bias_full
+            from mmrp_tpu.ops.wattn_core import window_attention_core
+
+            bias = build_bias_full(rel_table, ws, H, W, shift)
+            qkv = y @ qkv_k.astype(y.dtype) + qkv_b.astype(y.dtype)
+            attn_out = window_attention_core(
+                qkv, bias, ws=ws, shift=shift,
+                num_heads=self.num_heads, scale=scale,
+            )
+            out = attn_out @ proj_k.astype(y.dtype) + proj_b.astype(y.dtype)
+            return out, False
+
         if shift > 0:
             y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
         rel = build_rel_bias(rel_table, ws)

@@ -57,6 +57,10 @@ def parse_variant(spec: str):
         # (~3x fwd_xla + activation HBM) — which wins is an empirical
         # question per batch size.
         "xla": "xla" in parts[1:],
+        # _core: MMRP_SWIN_CORE raw-layout window-attention kernel with the
+        # hand-written backward (ops/wattn_core.py) inside the XLA branch —
+        # targets the 18% relayout-copy share (docs/ROOFLINE.md §8).
+        "core": "core" in parts[1:],
     }
 
 
@@ -70,6 +74,7 @@ def run_variant(v, *, swin_name, text_len, iters, use_pallas, on_tpu, trace):
     from mmrp_tpu.models.text_encoder import TextConfig
     from mmrp_tpu.train.joint import compute_losses, init_train_state
 
+    os.environ["MMRP_SWIN_CORE"] = "1" if v.get("core") else "0"
     batch = v["batch"]
     img = 224 if on_tpu else 56
     swin = (SwinConfig.base if swin_name == "base" else SwinConfig.tiny)(
@@ -147,6 +152,7 @@ def run_variant(v, *, swin_name, text_len, iters, use_pallas, on_tpu, trace):
         "mu_bf16": v["mu_bf16"],
         "remat": v["remat"],
         "xla_attention": v["xla"],
+        "core_kernel": v.get("core", False),
         "iters": iters,
         "step_ms": dt / iters * 1e3,
         "train_pairs_per_sec": batch * iters / dt,
