@@ -256,15 +256,22 @@ class WindowAttention(nn.Module):
         y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
         y = y * ln_scale.astype(self.dtype) + ln_bias.astype(self.dtype)
 
+        # Default ON for the TPU XLA branch (i.e. training, where
+        # use_pallas is off): measured back-to-back on the Swin-B b64
+        # train step 201.1 vs 242.4 ms/step (+20.5% pairs/s, loss equal
+        # to 4 decimals; copies 44.8 -> ~12 ms in the per-op trace) —
+        # BENCH_TRAIN_FLAGSHIP.json, docs/ROOFLINE.md §8. CPU keeps the
+        # XLA formulation (interpret-mode kernels are test-only).
+        core_default = "1" if jax.default_backend() == "tpu" else "0"
         if (
-            os.environ.get("MMRP_SWIN_CORE", "0") == "1"
+            os.environ.get("MMRP_SWIN_CORE", core_default) == "1"
             and H % ws == 0 and W % ws == 0 and nW > 1
         ):
             # Raw-layout attention CORE with a hand-written backward
             # kernel (ops/wattn_core.py): the qkv/proj GEMMs stay in XLA
             # (they run AT the measured FLOP roof, docs/ROOFLINE.md §8),
             # while roll + window partition/reverse + softmax live in one
-            # VMEM residency in BOTH directions — targeting the 18%
+            # VMEM residency in BOTH directions — eliminating the 18%
             # layout-copy share of the flagship train step. At nW == 1
             # (stage 4) the partition is a free reshape, so the XLA path
             # below stays.
