@@ -225,7 +225,11 @@ class WindowAttention(nn.Module):
         # Fused Pallas path (differentiable via custom VJP). At inference
         # the kernel also fuses the residual add; in training it returns the
         # raw branch so the caller can apply DropPath.
-        if self.use_pallas and _pallas_backend():
+        # MMRP_SWIN_ATTN_CORE=1 skips it so the XLA branch's raw-layout
+        # CORE kernel serves this stage instead (serving A/B knob: at
+        # Swin-B widths only stage 1 (C=128) takes this path).
+        if (self.use_pallas and _pallas_backend()
+                and os.environ.get("MMRP_SWIN_ATTN_CORE", "0") != "1"):
             from mmrp_tpu.ops.fused_window_attention import (
                 build_bias_full,
                 fused_window_attention_windows,
@@ -263,8 +267,17 @@ class WindowAttention(nn.Module):
         # BENCH_TRAIN_FLAGSHIP.json, docs/ROOFLINE.md §8. CPU keeps the
         # XLA formulation (interpret-mode kernels are test-only).
         core_default = "1" if jax.default_backend() == "tpu" else "0"
+        # Mosaic's shape-cast inference requires the kernel's window-split
+        # reshape to keep a 128-multiple lane dim: (B, H, W, 3C) ->
+        # (bb, H/ws, ws, W/ws, ws, 3C) fails with "unsupported shape cast"
+        # when 3C % 128 != 0 (measured: Swin-T stages 1-2, 3C = 288/576;
+        # Swin-B is aligned at every stage). Interpret mode (tests) is
+        # shape-agnostic.
+        core_aligned = (3 * self.dim) % 128 == 0 \
+            or jax.default_backend() != "tpu"
         if (
             os.environ.get("MMRP_SWIN_CORE", core_default) == "1"
+            and core_aligned
             and H % ws == 0 and W % ws == 0 and nW > 1
         ):
             # Raw-layout attention CORE with a hand-written backward
