@@ -272,9 +272,12 @@ class WindowAttention(nn.Module):
         # (bb, H/ws, ws, W/ws, ws, 3C) fails with "unsupported shape cast"
         # when 3C % 128 != 0 (measured: Swin-T stages 1-2, 3C = 288/576;
         # Swin-B is aligned at every stage). Interpret mode (tests) is
-        # shape-agnostic.
+        # shape-agnostic. MMRP_SWIN_CORE_PAD=1 lifts the gate via the
+        # kernel's in-VMEM lane padding (ops/wattn_core._pad_lanes) —
+        # opt-in pending a TPU A/B on the unaligned Swin-T stages.
         core_aligned = (3 * self.dim) % 128 == 0 \
-            or jax.default_backend() != "tpu"
+            or jax.default_backend() != "tpu" \
+            or os.environ.get("MMRP_SWIN_CORE_PAD", "0") == "1"
         if (
             os.environ.get("MMRP_SWIN_CORE", core_default) == "1"
             and core_aligned

@@ -74,6 +74,20 @@ except ImportError:  # pragma: no cover
 # ---------------------------------------------------------------------------
 
 
+def _pad_lanes(x: jnp.ndarray, mult: int = 128) -> jnp.ndarray:
+    """Zero-pad the trailing (lane) dim to a multiple of ``mult``.
+
+    Mosaic's shape-cast inference rejects the window-split reshape when
+    the lane dim is not 128-aligned (Swin-T stages 1-2: 3C = 288/576,
+    "unsupported shape cast"); padding in VMEM before the reshape lifts
+    that, and the pad lanes are never read (per-head slices stay below
+    the true C) — only the merge direction slices them off again."""
+    pad = (-x.shape[-1]) % mult
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
 def _win_split(x: jnp.ndarray, ws: int) -> jnp.ndarray:
     """(bb, H, W, F) -> (bb*nW, N, F), row-major window order."""
     bb, H, W, F = x.shape
@@ -92,12 +106,14 @@ def _win_merge(x: jnp.ndarray, ws: int, H: int, W: int) -> jnp.ndarray:
 
 
 def _heads_pnp(qkv3: jnp.ndarray, bias_ref, do3, *, num_heads: int,
-               scale: float, bb: int):
+               scale: float, bb: int, C: Optional[int] = None):
     """Per-head generator shared by fwd/bwd: yields
     (head, q, k, v, p, do_h) with p the f32 softmax probabilities.
-    ``do3`` may be None (forward)."""
+    ``do3`` may be None (forward). ``C`` must be passed when qkv3's lane
+    dim carries _pad_lanes zeros (then lane_dim // 3 would be wrong)."""
     nb, N, C3 = qkv3.shape
-    C = C3 // 3
+    if C is None:
+        C = C3 // 3
     d = C // num_heads
     nW = nb // bb
     for head in range(num_heads):
@@ -132,12 +148,12 @@ def _fwd_kernel(qkv_ref, bias_ref, o_ref, *, ws: int, shift: int,
     C = C3 // 3
     if shift:
         qkv = jnp.roll(qkv, shift=(-shift, -shift), axis=(1, 2))
-    qkv3 = _win_split(qkv, ws)                       # (nb, N, 3C)
+    qkv3 = _win_split(_pad_lanes(qkv), ws)           # (nb, N, 3C [+pad])
 
     outs = []
     for _, _, _, v, p, _ in _heads_pnp(qkv3, bias_ref, None,
                                        num_heads=num_heads, scale=scale,
-                                       bb=bb):
+                                       bb=bb, C=C):
         outs.append(
             jax.lax.dot_general(
                 p.astype(v.dtype), v,
@@ -146,7 +162,7 @@ def _fwd_kernel(qkv_ref, bias_ref, o_ref, *, ws: int, shift: int,
             ).astype(qkv.dtype)                      # (nb, N, d)
         )
     out3 = jnp.concatenate(outs, axis=-1)            # (nb, N, C)
-    out = _win_merge(out3, ws, H, W)                 # (bb, H, W, C)
+    out = _win_merge(_pad_lanes(out3), ws, H, W)[..., :C]  # (bb, H, W, C)
     if shift:
         out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
     o_ref[...] = out
@@ -166,8 +182,8 @@ def _bwd_kernel(qkv_ref, bias_ref, do_ref, dqkv_ref, dbias_ref, *, ws: int,
         # rolls back (+shift) — mirror of the forward's sandwich.
         qkv = jnp.roll(qkv, shift=(-shift, -shift), axis=(1, 2))
         do = jnp.roll(do, shift=(-shift, -shift), axis=(1, 2))
-    qkv3 = _win_split(qkv, ws)                       # (nb, N, 3C)
-    do3 = _win_split(do, ws)                         # (nb, N, C)
+    qkv3 = _win_split(_pad_lanes(qkv), ws)           # (nb, N, 3C [+pad])
+    do3 = _win_split(_pad_lanes(do), ws)             # (nb, N, C [+pad])
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -176,7 +192,7 @@ def _bwd_kernel(qkv_ref, bias_ref, do_ref, dqkv_ref, dbias_ref, *, ws: int,
     dqs, dks, dvs = [], [], []
     for head, q, k, v, p, do_h in _heads_pnp(qkv3, bias_ref, do3,
                                              num_heads=num_heads,
-                                             scale=scale, bb=bb):
+                                             scale=scale, bb=bb, C=C):
         pb = p.astype(v.dtype)
         # dv = p^T do                                 (nb, Nk, d)
         dv = jax.lax.dot_general(
@@ -205,7 +221,7 @@ def _bwd_kernel(qkv_ref, bias_ref, do_ref, dqkv_ref, dbias_ref, *, ws: int,
         dvs.append(dv.astype(qkv.dtype))
 
     dqkv3 = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (nb, N, 3C)
-    dqkv = _win_merge(dqkv3, ws, H, W)                 # (bb, H, W, 3C)
+    dqkv = _win_merge(_pad_lanes(dqkv3), ws, H, W)[..., :C3]
     if shift:
         dqkv = jnp.roll(dqkv, shift=(shift, shift), axis=(1, 2))
     dqkv_ref[...] = dqkv
@@ -238,7 +254,8 @@ def _vmem_kwargs(interpret: bool):
 def _core_fwd_call(qkv, bias, *, ws, shift, num_heads, scale, interpret):
     B, H, W, C3 = qkv.shape
     C = C3 // 3
-    bb = _pick_block_b(B, H, W, C3, qkv.dtype.itemsize)
+    # budget on the lane-padded width the kernel actually materializes
+    bb = _pick_block_b(B, H, W, C3 + (-C3) % 128, qkv.dtype.itemsize)
     space = pltpu.VMEM if _HAS_PLTPU and not interpret else None
     return pl.pallas_call(
         functools.partial(_fwd_kernel, ws=ws, shift=shift,
@@ -261,7 +278,7 @@ def _core_fwd_call(qkv, bias, *, ws, shift, num_heads, scale, interpret):
 def _core_bwd_call(qkv, bias, do, *, ws, shift, num_heads, scale, interpret):
     B, H, W, C3 = qkv.shape
     C = C3 // 3
-    bb = _pick_block_b(B, H, W, C3, qkv.dtype.itemsize)
+    bb = _pick_block_b(B, H, W, C3 + (-C3) % 128, qkv.dtype.itemsize)
     space = pltpu.VMEM if _HAS_PLTPU and not interpret else None
     dqkv, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, ws=ws, shift=shift,

@@ -92,6 +92,42 @@ def test_core_gradients_match_oracle(rng, shift):
                                atol=3e-5)
 
 
+@pytest.mark.parametrize("shift", [0, 3])
+def test_core_unaligned_lane_pad(rng, shift):
+    """Swin-T stage-1 dims (C=96, heads=3, 3C=288 — NOT a 128 multiple):
+    the kernel's _pad_lanes path must reproduce the oracle's forward and
+    gradients exactly (pad lanes are never read / sliced off on merge)."""
+    ws, H, W, heads, d, B = 7, 14, 14, 3, 32, 2
+    C = heads * d
+    scale = d**-0.5
+    qkv = jnp.asarray(rng.standard_normal((B, H, W, 3 * C)), jnp.float32)
+    table = jnp.asarray(
+        rng.standard_normal(((2 * ws - 1) ** 2, heads)) * 0.1, jnp.float32)
+    bias = build_bias_full(table, ws, H, W, shift)
+    cot = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+
+    def loss_core(qkv, bias):
+        out = window_attention_core(qkv, bias, ws=ws, shift=shift,
+                                    num_heads=heads, scale=scale,
+                                    interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_oracle(qkv, bias):
+        return jnp.sum(_oracle(qkv, bias, ws, shift, heads, scale) * cot)
+
+    np.testing.assert_allclose(
+        np.asarray(window_attention_core(
+            qkv, bias, ws=ws, shift=shift, num_heads=heads, scale=scale,
+            interpret=True)),
+        np.asarray(_oracle(qkv, bias, ws, shift, heads, scale)), atol=2e-5)
+    g_core = jax.grad(loss_core, argnums=(0, 1))(qkv, bias)
+    g_want = jax.grad(loss_oracle, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(g_core[0]), np.asarray(g_want[0]),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(g_core[1]), np.asarray(g_want[1]),
+                               atol=5e-5)
+
+
 def test_core_multiblock_grid(rng):
     """B larger than the VMEM block: grid > 1, dbias accumulates across
     sequential grid steps."""
