@@ -271,13 +271,15 @@ class WindowAttention(nn.Module):
         # reshape to keep a 128-multiple lane dim: (B, H, W, 3C) ->
         # (bb, H/ws, ws, W/ws, ws, 3C) fails with "unsupported shape cast"
         # when 3C % 128 != 0 (measured: Swin-T stages 1-2, 3C = 288/576;
-        # Swin-B is aligned at every stage). Interpret mode (tests) is
-        # shape-agnostic. MMRP_SWIN_CORE_PAD=1 lifts the gate via the
-        # kernel's in-VMEM lane padding (ops/wattn_core._pad_lanes) —
-        # opt-in pending a TPU A/B on the unaligned Swin-T stages.
+        # Swin-B is aligned at every stage). The kernel's in-VMEM lane
+        # padding (ops/wattn_core._pad_lanes) lifts that and is the
+        # DEFAULT: measured back-to-back on the Swin-T b128 train step
+        # 249.1 vs 285.6 ms (+14.6% pairs/s, 513.9 vs 448.3, losses
+        # equal — BENCH_TRAIN.json b128_mu_xla_core_pad). Set
+        # MMRP_SWIN_CORE_PAD=0 to route unaligned stages back to XLA.
         core_aligned = (3 * self.dim) % 128 == 0 \
             or jax.default_backend() != "tpu" \
-            or os.environ.get("MMRP_SWIN_CORE_PAD", "0") == "1"
+            or os.environ.get("MMRP_SWIN_CORE_PAD", "1") == "1"
         if (
             os.environ.get("MMRP_SWIN_CORE", core_default) == "1"
             and core_aligned

@@ -61,6 +61,10 @@ def parse_variant(spec: str):
         # hand-written backward (ops/wattn_core.py) inside the XLA branch —
         # targets the 18% relayout-copy share (docs/ROOFLINE.md §8).
         "core": "core" in parts[1:],
+        # _pad: MMRP_SWIN_CORE_PAD — lift the (3*dim)%128 Mosaic lane gate
+        # via the kernel's in-VMEM _pad_lanes path, so Swin-T's unaligned
+        # stages 1-2 (3C = 288/576) also route through the core kernel.
+        "pad": "pad" in parts[1:],
     }
 
 
@@ -75,6 +79,7 @@ def run_variant(v, *, swin_name, text_len, iters, use_pallas, on_tpu, trace):
     from mmrp_tpu.train.joint import compute_losses, init_train_state
 
     os.environ["MMRP_SWIN_CORE"] = "1" if v.get("core") else "0"
+    os.environ["MMRP_SWIN_CORE_PAD"] = "1" if v.get("pad") else "0"
     batch = v["batch"]
     img = 224 if on_tpu else 56
     swin = (SwinConfig.base if swin_name == "base" else SwinConfig.tiny)(
@@ -153,6 +158,7 @@ def run_variant(v, *, swin_name, text_len, iters, use_pallas, on_tpu, trace):
         "remat": v["remat"],
         "xla_attention": v["xla"],
         "core_kernel": v.get("core", False),
+        "core_pad": v.get("pad", False),
         "iters": iters,
         "step_ms": dt / iters * 1e3,
         "train_pairs_per_sec": batch * iters / dt,
