@@ -27,7 +27,6 @@ All engine outputs are numpy arrays shaped (H, W) in [0, 1].
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -156,12 +155,18 @@ def ig_patch_attribution(
     g0 = feats["img_global"].astype(jnp.float32)
     B = patches.shape[0]
     k = int(chunk)
+    assert n_steps >= 1, n_steps
     assert n_steps % k == 0, (n_steps, k)
 
     def tile(x):
         return jnp.tile(x, (k,) + (1,) * (x.ndim - 1)) if k > 1 else x
 
-    featsr = jax.tree_util.tree_map(tile, feats)
+    # img_patches/img_global are rebuilt per scan step (ipr / g below),
+    # so only the text-side features are tiled
+    featsr = {
+        kk: tile(v) for kk, v in feats.items()
+        if kk not in ("img_patches", "img_global")
+    }
     idsr, maskr, g0r = tile(ids), tile(mask), tile(g0)
     t = jnp.asarray(targets)
     targetsr = jnp.tile(t, (k,)) if (k > 1 and t.ndim == 1) else t
@@ -205,6 +210,7 @@ class ExplanationEngine:
         self._ig = {}
         self._gradcam = {}
         self._full = {}
+        self._tok_ig = {}
 
     def _hw(self, image) -> Tuple[int, int]:
         return tuple(self.image_hw) if self.image_hw else tuple(image.shape[1:3])
@@ -296,7 +302,7 @@ class ExplanationEngine:
         key = ("pixels", n_steps)
         if key not in self._ig:
 
-            @functools.partial(jax.jit, static_argnames=())
+            @jax.jit
             def ig_fn(params, image, ids, mask, target_idx):
                 def logit_of(img):
                     out = self.model.apply(
@@ -333,8 +339,6 @@ class ExplanationEngine:
         target: int,
     ) -> np.ndarray:
         out_hw = self._hw(image)
-        if not isinstance(self._gradcam, dict):
-            self._gradcam = {}
         if out_hw not in self._gradcam:
 
             @jax.jit
@@ -382,8 +386,6 @@ class ExplanationEngine:
     ) -> np.ndarray:
         """(B, Lt) normalized IG attribution over projected text tokens:
         a lax.scan over interpolation of the token-projection delta."""
-        if not hasattr(self, "_tok_ig"):
-            self._tok_ig = {}
         if n_steps not in self._tok_ig:
 
             @jax.jit

@@ -266,7 +266,13 @@ class WindowAttention(nn.Module):
         # to 4 decimals; copies 44.8 -> ~12 ms in the per-op trace) —
         # BENCH_TRAIN_FLAGSHIP.json, docs/ROOFLINE.md §8. CPU keeps the
         # XLA formulation (interpret-mode kernels are test-only).
-        core_default = "1" if jax.default_backend() == "tpu" else "0"
+        # Default ON only single-chip: the Pallas custom call does not
+        # auto-partition under plain GSPMD jit on a >1-device mesh
+        # (wattn_core.py multi-chip note). A shard_map-wrapped train
+        # step sees per-shard shapes and can opt in with
+        # MMRP_SWIN_CORE=1 explicitly.
+        core_default = ("1" if jax.default_backend() == "tpu"
+                        and jax.device_count() == 1 else "0")
         # Mosaic's shape-cast inference requires the kernel's window-split
         # reshape to keep a 128-multiple lane dim: (B, H, W, 3C) ->
         # (bb, H/ws, ws, W/ws, ws, 3C) fails with "unsupported shape cast"

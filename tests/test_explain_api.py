@@ -262,6 +262,24 @@ def test_ig_chunked_matches_sequential(setup):
         np.testing.assert_allclose(got, base, atol=2e-4)
 
 
+def test_ig_chunked_vector_targets_match_sequential(setup):
+    """Per-sample VECTOR targets through the chunked path: the alpha
+    repeat (chunk-major) and target tile pairing must keep each sample
+    attributed for its own class — chunk=1 vs chunk=2/4 must agree.
+    Guards the jnp.repeat(alphas)/jnp.tile(targets) ordering, where a
+    swap would silently pair sample i with another sample's alpha or
+    target."""
+    model, params, img, ids, mask = setup
+    eng = ExplanationEngine(model, params, image_hw=(28, 28))
+    targets = np.arange(img.shape[0]) % 3  # distinct per-sample classes
+    base = eng.integrated_gradients(img, ids, mask, targets, n_steps=4,
+                                    chunk=1)
+    for k in (2, 4):
+        got = eng.integrated_gradients(img, ids, mask, targets, n_steps=4,
+                                       chunk=k)
+        np.testing.assert_allclose(got, base, atol=2e-4)
+
+
 def test_explain_batch_matches_separate_calls(setup):
     """The single-forward combined program (serve detail path) must equal
     the separate attention_maps / integrated_gradients / grad_cam calls
