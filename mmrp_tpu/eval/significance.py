@@ -38,15 +38,19 @@ def paired_tests(
     Returns mean_delta (mean(a-b)), t/p from the paired t-test,
     Wilcoxon p, and the bootstrap 95% CI of the mean delta. Degenerate
     inputs return defined values rather than raising (mirroring
-    eval/metrics.py's safe_* conventions): <2 queries -> NaN p-values;
-    all-zero deltas -> p=1; constant nonzero deltas -> the exact
-    sign-test p (zero variance is maximal evidence, not NaN).
+    eval/metrics.py's safe_* conventions): <2 queries or any non-finite
+    delta -> NaN p-values; all-zero deltas -> p=1; constant nonzero
+    deltas -> the exact sign-test p (zero variance is maximal evidence,
+    not NaN).
     """
     from scipy import stats
 
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
-    assert a.shape == b.shape, "paired_tests: unequal query counts"
+    if a.shape != b.shape:
+        raise ValueError(
+            f"paired_tests: unequal query counts {a.shape} vs {b.shape}"
+        )
     d = a - b
     n = d.size
     out: Dict[str, float] = {
@@ -58,16 +62,18 @@ def paired_tests(
         "ci95_lo": float("nan"),
         "ci95_hi": float("nan"),
     }
-    if n < 2:
+    if n < 2 or not np.all(np.isfinite(d)):
+        # non-finite deltas would otherwise fall through every branch
+        # below into the constant-nonzero case (ptp(d) is NaN) and report
+        # maximal significance for corrupted input
         return out
     if np.ptp(d) > 0:
         t, p = stats.ttest_rel(a, b)
         out["t"], out["p_ttest"] = float(t), float(p)
-        if np.any(d != 0):
-            try:
-                out["p_wilcoxon"] = float(stats.wilcoxon(d).pvalue)
-            except ValueError:  # all-zero after tie removal
-                pass
+        try:
+            out["p_wilcoxon"] = float(stats.wilcoxon(d).pvalue)
+        except ValueError:  # all-zero after tie removal
+            pass
     elif np.all(d == 0):
         # identical rankings: no evidence of difference
         out["p_ttest"] = out["p_wilcoxon"] = 1.0
@@ -82,9 +88,16 @@ def paired_tests(
         out["t"] = float(np.sign(d[0]) * np.inf)
         out["p_ttest"] = out["p_wilcoxon"] = float(p_exact)
 
+    # chunked bootstrap: the full (n_boot, n) index + resample matrices
+    # would peak at ~1.6 GB for 50k-query sets; 100 replicates at a time
+    # is numerically identical with ~1/20th the footprint
     rng = np.random.default_rng(seed)
-    idx = rng.integers(0, n, size=(n_boot, n))
-    boots = d[idx].mean(axis=1)
+    boots = np.empty(n_boot, np.float64)
+    step = max(1, min(n_boot, (2 ** 22) // max(n, 1)))
+    for s in range(0, n_boot, step):
+        e = min(s + step, n_boot)
+        idx = rng.integers(0, n, size=(e - s, n))
+        boots[s:e] = d[idx].mean(axis=1)
     out["ci95_lo"] = float(np.percentile(boots, 2.5))
     out["ci95_hi"] = float(np.percentile(boots, 97.5))
     return out

@@ -20,6 +20,21 @@ import jax
 import jax.numpy as jnp
 
 
+def window_normalize(
+    raw: jnp.ndarray,  # (B, H, W) float32 raw pixels
+    window_center: jnp.ndarray,  # (B,)
+    window_width: jnp.ndarray,  # (B,)
+) -> jnp.ndarray:
+    """Per-sample window/level clip -> [0,1] (reference
+    tensorDICOM.py:52-70). The ONE copy of the windowing math, shared by
+    ``preprocess_batch`` (training/offline) and the streaming serve
+    ingest (serve/stream.py) so the two paths cannot drift."""
+    lower = (window_center - window_width / 2.0)[:, None, None]
+    upper = (window_center + window_width / 2.0)[:, None, None]
+    x = jnp.clip(raw, lower, upper)
+    return (x - lower) / jnp.maximum(upper - lower, 1e-8)
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def preprocess_batch(
     raw: jnp.ndarray,  # (B, H, W) float32 raw pixels
@@ -30,10 +45,7 @@ def preprocess_batch(
     std: float = 0.5,
 ) -> jnp.ndarray:
     """window -> [0,1] -> resize -> 3ch -> normalize. Returns (B, H', W', 3)."""
-    lower = (window_center - window_width / 2.0)[:, None, None]
-    upper = (window_center + window_width / 2.0)[:, None, None]
-    x = jnp.clip(raw, lower, upper)
-    x = (x - lower) / jnp.maximum(upper - lower, 1e-8)
+    x = window_normalize(raw, window_center, window_width)
     x = jax.image.resize(x, (x.shape[0],) + tuple(out_hw), method="bilinear")
     x = (x - mean) / std
     return jnp.repeat(x[..., None], 3, axis=-1)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mmrp_tpu.ops.preprocess import window_normalize
 from mmrp_tpu.retrieval.gallery import RetrievalEngine
 
 
@@ -46,6 +47,9 @@ class StreamingPipeline:
         self.threshold = np.asarray(threshold)
         self.K = K
         self.mesh = mesh
+        # populated by run() once the stream is fully consumed; None
+        # until then (a partially-consumed generator never sets it)
+        self.stats: Optional[Dict[str, Any]] = None
 
         def fwd(params, image, ids, mask, wc=None, ww=None):
             # Compact ingestion, fused into the forward program. The
@@ -53,20 +57,25 @@ class StreamingPipeline:
             # host->device image transfer (BENCH_STREAM.json: 128x224x224x3
             # f32 = 77 MB/batch over a ~45 MB/s link), so the serving
             # contract accepts the compact forms and finishes preprocessing
-            # on device (same math as ops/preprocess.py::preprocess_batch):
+            # on device (ops/preprocess.py::window_normalize — the SAME
+            # function the training path uses):
             #   uint8  (B,H,W[,1]) windowed pixels  -> 12x less transfer
-            #   uint16 (B,H,W)     raw pixels + per-sample window center/
-            #                      width             -> 6x, full fidelity
+            #   uint16 (B,H,W)     raw pixels at model resolution +
+            #                      per-sample window center/width -> 6x
             #   float32 NHWC model-ready             -> pass-through
+            # uint16 contract note: a client downsampling native-resolution
+            # pixels must CLIP to the window range BEFORE resizing (clip
+            # keeps uint16; bilinear blends of in-window values stay in
+            # window, so the device clip is a no-op and the affine
+            # normalize commutes with the resize) — that reproduces the
+            # training clip->normalize->resize math exactly. Resizing
+            # unclipped pixels blends out-of-window values into tissue
+            # at boundaries and diverges from the offline path.
             x = image
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 255.0
             elif x.dtype == jnp.uint16:
-                xf = x.astype(jnp.float32)
-                lower = (wc - ww / 2.0)[:, None, None]
-                upper = (wc + ww / 2.0)[:, None, None]
-                xf = jnp.clip(xf, lower, upper)
-                x = (xf - lower) / jnp.maximum(upper - lower, 1e-8)
+                x = window_normalize(x.astype(jnp.float32), wc, ww)
             if x.dtype != image.dtype:  # compact path: normalize + 3-channel
                 x = (x - 0.5) / 0.5
                 if x.ndim == 3:

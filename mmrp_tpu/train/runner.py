@@ -202,13 +202,25 @@ def run_training_pipeline(
     split_recs = {
         name: [by_id[i] for i in ids if i in by_id] for name, ids in splits.items()
     }
+    for name, recs in split_recs.items():
+        # fail fast: an empty split (e.g. max_records truncating a cache
+        # ordered by split) would otherwise crash stage 4's embedding
+        # dump with an obscure np.concatenate error after hours of
+        # training
+        if not recs:
+            raise ValueError(
+                f"split {name!r} has no records in records_cache.json"
+                + (f" (max_records={max_records} truncation?)"
+                   if max_records else "")
+            )
 
     # ---- stage 0: tokenizer -------------------------------------------------
     if cfg.pretrained_vocab:
         # the checkpoint's own vocab.txt: token ids line up with a ported
-        # ClinicalBERT embedding table (fusion.py:313-325)
-        if not (out / "vocab.txt").exists():
-            shutil.copyfile(cfg.pretrained_vocab, out / "vocab.txt")
+        # ClinicalBERT embedding table (fusion.py:313-325). Copy is
+        # unconditional: a vocab.txt left by an earlier corpus-trained
+        # run in the same out_dir must not shadow the pinned file.
+        shutil.copyfile(cfg.pretrained_vocab, out / "vocab.txt")
         tok = load_or_train_tokenizer(str(out / "vocab.txt"))
     else:
         tok = load_or_train_tokenizer(

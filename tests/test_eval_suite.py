@@ -107,6 +107,15 @@ def test_paired_significance_detects_shift(rng):
     down = paired_tests(np.full(3, 0.2), np.full(3, 0.5))
     assert down["t"] == -np.inf and down["p_ttest"] == pytest.approx(0.25)
 
+    # corrupted input: any non-finite delta must yield NaN p-values, not
+    # fall through to the maximal-significance constant-delta branch
+    bad = paired_tests([0.5, float("nan"), 0.7], [0.4, 0.6, 0.5])
+    assert np.isnan(bad["p_ttest"]) and np.isnan(bad["p_wilcoxon"])
+
+    # mismatched shapes raise (not broadcast into fabricated pairs)
+    with pytest.raises(ValueError):
+        paired_tests(np.zeros((4, 1)), np.zeros(4))
+
     out = compare_variants({"baseline": {"AP": b}, "v": {"AP": a}},
                            metrics=("AP",))
     assert out["v"]["AP"]["p_ttest"] < 1e-6
