@@ -246,6 +246,18 @@ def per_class_report(
     }
 
 
+def composite_score(report: dict) -> float:
+    """THE early-stopping composite, 0.5*macro_f1 + 0.5*macro_auroc
+    (AUROC treated as 0 when undefined — reference train.py:725-739).
+    Single definition shared by the joint trainer (train/pipeline.py),
+    the Swin finetune loop, and the ASL auto-search so the stages can
+    never silently optimize different objectives."""
+    auroc = report["macro_auroc"]
+    return 0.5 * report["macro_f1"] + 0.5 * (
+        auroc if np.isfinite(auroc) else 0.0
+    )
+
+
 def find_best_thresholds(
     y_true: np.ndarray, y_prob: np.ndarray, grid: Optional[np.ndarray] = None
 ) -> np.ndarray:

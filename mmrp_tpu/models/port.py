@@ -43,12 +43,12 @@ def _as_np(state: Mapping) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def convert_hf_bert(state_dict: Mapping, num_layers: int, num_heads: int) -> Dict:
-    """HF BertModel state_dict -> TextEncoder params['params'] subtree."""
+def convert_hf_bert(state_dict: Mapping, num_layers: int) -> Dict:
+    """HF BertModel state_dict -> TextEncoder params['params'] subtree.
+    (No head count needed: q/k/v kernels stay 2D — the head split is a
+    runtime reshape in the encoder, not a parameter layout.)"""
     sd = _as_np(state_dict)
     pfx = "bert." if any(k.startswith("bert.") for k in sd) else ""
-    D = sd[f"{pfx}embeddings.word_embeddings.weight"].shape[1]
-    hd = D // num_heads
 
     def attn_in(name):  # torch Linear (out, in) -> 2D (in, out) kernel
         return {"kernel": _t(sd[f"{name}.weight"]), "bias": sd[f"{name}.bias"]}
@@ -98,8 +98,10 @@ def convert_hf_bert(state_dict: Mapping, num_layers: int, num_heads: int) -> Dic
 # ---------------------------------------------------------------------------
 
 
-def convert_hf_swin(state_dict: Mapping, depths, num_heads) -> Dict:
-    """HF SwinModel state_dict -> SwinEncoder params['params'] subtree."""
+def convert_hf_swin(state_dict: Mapping, depths) -> Dict:
+    """HF SwinModel state_dict -> SwinEncoder params['params'] subtree.
+    (Head counts live in the rel_bias_table columns, copied verbatim;
+    qkv kernels stay 2D, so no head arg is needed.)"""
     sd = _as_np(state_dict)
     pfx = "swin." if any(k.startswith("swin.") for k in sd) else ""
 
@@ -127,9 +129,6 @@ def convert_hf_swin(state_dict: Mapping, depths, num_heads) -> Dict:
     for s, depth in enumerate(depths):
         for b in range(depth):
             lp = f"{pfx}encoder.layers.{s}.blocks.{b}"
-            h = num_heads[s]
-            dim = sd[f"{lp}.attention.self.query.weight"].shape[0]
-            hd = dim // h
             q = _t(sd[f"{lp}.attention.self.query.weight"])
             k = _t(sd[f"{lp}.attention.self.key.weight"])
             v = _t(sd[f"{lp}.attention.self.value.weight"])
@@ -195,7 +194,6 @@ def convert_hf_swin(state_dict: Mapping, depths, num_heads) -> Dict:
 def convert_medclip_vit(
     state_dict: Mapping,
     depths=(2, 2, 6, 2),
-    num_heads=(3, 6, 12, 24),
 ) -> Dict:
     """MedCLIP-ViT checkpoint -> MedCLIPVisionEncoder params['params'].
 
@@ -218,7 +216,7 @@ def convert_medclip_vit(
             "no vision tower found: expected '[vision_model.]model.*' keys"
         )
     return {
-        "swin": convert_hf_swin(swin_sd, depths, num_heads),
+        "swin": convert_hf_swin(swin_sd, depths),
         "projection": {"kernel": _t(sd[f"{pfx}projection_head.weight"])},
     }
 
@@ -274,6 +272,13 @@ def text_config_from_state(sd: Mapping, num_heads: int = 0, **kw):
         num_heads=num_heads or max(1, hidden // 64),
         intermediate_dim=inter,
         max_positions=sd[f"{pfx}embeddings.position_embeddings.weight"].shape[0],
+        # readable from the checkpoint: a type_vocab_size != 2 default
+        # would otherwise build a mismatched token_type table that the
+        # shape-unchecked warm start only surfaces as an optax tree
+        # mismatch on the first update
+        type_vocab_size=sd[
+            f"{pfx}embeddings.token_type_embeddings.weight"
+        ].shape[0],
         **kw,
     )
 
@@ -303,12 +308,3 @@ def swin_layout_from_state(sd: Mapping):
     return depths, num_heads
 
 
-def load_hf_bert_into(text_params: Dict, hf_state: Mapping, num_layers: int,
-                      num_heads: int) -> Dict:
-    """Replace a TextEncoder param subtree with converted HF weights,
-    keeping any extra entries (e.g. when vocab sizes match exactly this is
-    a full replacement)."""
-    converted = convert_hf_bert(hf_state, num_layers, num_heads)
-    merged = dict(text_params)
-    merged.update(converted)
-    return merged

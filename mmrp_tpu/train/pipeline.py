@@ -35,7 +35,11 @@ from mmrp_tpu.data.dataset import (
     build_dataloader,
     pos_weight_from_labels,
 )
-from mmrp_tpu.eval.metrics import find_best_thresholds, per_class_report
+from mmrp_tpu.eval.metrics import (
+    composite_score,
+    find_best_thresholds,
+    per_class_report,
+)
 from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
 from mmrp_tpu.train.joint import compute_losses, init_train_state, make_eval_step, make_train_step
 from mmrp_tpu.utils.logging import MetricWriter
@@ -160,9 +164,7 @@ def run_joint_training(
         th = find_best_thresholds(ys_a, probs_a)
         names = list(class_names or [f"c{i}" for i in range(ys_a.shape[1])])
         rep = per_class_report(ys_a, probs_a, th, names)
-        composite = 0.5 * rep["macro_f1"] + 0.5 * (
-            rep["macro_auroc"] if np.isfinite(rep["macro_auroc"]) else 0.0
-        )
+        composite = composite_score(rep)
         writer.log(
             {"val/macro_f1": rep["macro_f1"], "val/macro_auroc": rep["macro_auroc"],
              "val/micro_f1": rep["micro_f1"], "val/composite": composite},

@@ -44,9 +44,7 @@ def _load_pretrained_backbones(cfg: Config, mm_swin_cfg, tok):
                 f"embedding table has {text_override.vocab_size} rows — the "
                 "vocab file must be the checkpoint's own vocab.txt"
             )
-        bert_params = port.convert_hf_bert(
-            sd, text_override.num_layers, text_override.num_heads
-        )
+        bert_params = port.convert_hf_bert(sd, text_override.num_layers)
     if cfg.pretrained_swin:
         sd = port.load_pretrained_state(cfg.pretrained_swin)
         depths, heads = port.swin_layout_from_state(sd)
@@ -56,7 +54,13 @@ def _load_pretrained_backbones(cfg: Config, mm_swin_cfg, tok):
                 f"image_backbone depths {tuple(mm_swin_cfg.depths)} — set "
                 "image_backbone to the checkpoint's variant"
             )
-        swin_params = port.convert_hf_swin(sd, depths, heads)
+        if tuple(heads) != tuple(mm_swin_cfg.num_heads):
+            raise ValueError(
+                f"pretrained_swin heads {heads} != configured "
+                f"image_backbone heads {tuple(mm_swin_cfg.num_heads)} — "
+                "same depths but a different variant (e.g. Swin-S vs -B)"
+            )
+        swin_params = port.convert_hf_swin(sd, depths)
     return text_override, bert_params, swin_params
 
 

@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mmrp_tpu.eval.metrics import find_best_thresholds, per_class_report
+from mmrp_tpu.eval.metrics import (
+    composite_score,
+    find_best_thresholds,
+    per_class_report,
+)
 from mmrp_tpu.models.finetune_head import SwinForFinetune
 from mmrp_tpu.train import losses as L
 
@@ -161,17 +165,16 @@ def build_finetune_subset(
         chosen = np.zeros(n, dtype=bool)
         per_label = labels.sum(axis=0)
         order = np.argsort(per_label)  # rarest labels pick first
-        counts = np.zeros(C, dtype=int)
         for c in order:
-            holders = np.where(labels[:, c])[0]
+            # seed from positives already pulled in by rarer labels, then
+            # admit only unchosen holders up to the cap (one O(n) count
+            # per label instead of a full recount per candidate)
+            have = int(labels[chosen, c].sum())
+            if have >= cap:
+                continue
+            holders = np.where(labels[:, c] & ~chosen)[0]
             rng.shuffle(holders)
-            for i in holders:
-                if counts[c] >= cap:
-                    break
-                if not chosen[i]:
-                    chosen[i] = True
-                counts = counts + 0  # counts updated below from chosen set
-                counts[c] = int((labels[chosen, c]).sum())
+            chosen[holders[: cap - have]] = True
         sub_counts = labels[chosen].sum(axis=0)
         rare_ok = all(
             sub_counts[c] >= min(min_per_label, per_label[c]) for c in range(C)
@@ -199,10 +202,16 @@ def lr_range_test(
     finite = np.isfinite(losses)
     if not finite.any():
         return 1e-4
-    # first index where loss exceeds 4x the running minimum -> diverged
+    # first index where loss goes non-finite OR exceeds 4x the running
+    # minimum -> diverged (NaN > x is False, so NaN tails need their own
+    # test or the blow point is missed entirely)
     run_min = np.minimum.accumulate(np.where(finite, losses, np.inf))
-    blow = np.argmax(losses > 4 * run_min) if (losses > 4 * run_min).any() else len(lrs) - 1
-    best = np.nanargmin(losses[: max(blow, 1)])
+    bad = ~finite | (losses > 4 * run_min)
+    blow = int(np.argmax(bad)) if bad.any() else len(lrs) - 1
+    head = losses[: max(blow, 1)]
+    if not np.isfinite(head).any():  # diverged from the very first LR
+        return 1e-4
+    best = np.nanargmin(head)
     return float(lrs[best] / 10.0) if blow > 0 else float(lrs[best])
 
 
@@ -233,10 +242,7 @@ def auto_select_asl(
         )
         res = finetune(model, trial_cfg, train_batches, val_batches,
                        base_pos_weight, sample_image)
-        comp = 0.5 * res["report"]["macro_f1"] + 0.5 * (
-            res["report"]["macro_auroc"]
-            if np.isfinite(res["report"]["macro_auroc"]) else 0.0
-        )
+        comp = composite_score(res["report"])
         if comp > best[2]["composite"]:
             best = (gamma_neg, clip, {"composite": comp})
     return best
@@ -283,6 +289,11 @@ def make_finetune_step(model: SwinForFinetune, cfg: SwinFinetuneConfig, tx):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, freeze)
         updates, opt_state = tx.update(grads, opt_state, params)
+        # mask the UPDATES too: adamw's weight-decay term is
+        # gradient-independent, so zeroed grads alone would still shrink
+        # "frozen" params by lr*wd each step — the module contract is
+        # zero updates for frozen params
+        updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, freeze)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
@@ -309,13 +320,27 @@ def finetune(
     rng = jax.random.PRNGKey(cfg.seed)
     params = model.init(rng, jnp.asarray(sample_image))["params"]
     if init_backbone is not None:
+        def _inject(path, t, s):
+            # fail fast on width mismatch (e.g. a Swin-S checkpoint into
+            # a Swin-B config passes a depths-only guard but dies with an
+            # opaque matmul error mid-train if installed unchecked)
+            if tuple(t.shape) != tuple(np.shape(s)):
+                raise ValueError(
+                    f"pretrained backbone leaf {jax.tree_util.keystr(path)}"
+                    f" shape {tuple(np.shape(s))} != model {tuple(t.shape)}"
+                )
+            return jnp.asarray(s, t.dtype)
+
         params = dict(params)
-        params["swin"] = jax.tree_util.tree_map(
-            lambda t, s: jnp.asarray(s, t.dtype), params["swin"], init_backbone
+        params["swin"] = jax.tree_util.tree_map_with_path(
+            _inject, params["swin"], init_backbone
         )
     tx = make_finetune_optimizer(cfg, params)
     opt_state = tx.init(params)
     step_fn = make_finetune_step(model, cfg, tx)
+    eval_fn = jax.jit(
+        lambda p, img: model.apply({"params": p}, img)["logits"]
+    )
 
     best = {"composite": -1.0}
     best_params = params
@@ -332,23 +357,21 @@ def finetune(
             params, opt_state, loss = step_fn(params, opt_state, jb, pw, freeze, sub)
             losses.append(float(loss))
 
-        # validation: logits -> thresholds -> composite metric
-        probs, ys = [], []
+        # validation: jitted logits -> thresholds -> composite metric
+        logits_ep, ys = [], []
         for batch in val_batches():
-            out = model.apply({"params": params}, jnp.asarray(batch["image"]))
-            p = np.asarray(jax.nn.sigmoid(out["logits"]))
+            lg = np.asarray(eval_fn(params, jnp.asarray(batch["image"])))
             v = batch.get("valid")
             keep = slice(None) if v is None else np.asarray(v) > 0
-            probs.append(p[keep])
+            logits_ep.append(lg[keep])
             ys.append(np.asarray(batch["labels"])[keep])
-        probs = np.concatenate(probs)
+        logits_ep = np.concatenate(logits_ep)
         ys = np.concatenate(ys)
+        probs = 1.0 / (1.0 + np.exp(-logits_ep))
         th = find_best_thresholds(ys, probs)
         names = class_names or [f"c{i}" for i in range(ys.shape[1])]
         rep = per_class_report(ys, probs, th, names)
-        composite = 0.5 * rep["macro_f1"] + 0.5 * (
-            rep["macro_auroc"] if np.isfinite(rep["macro_auroc"]) else 0.0
-        )
+        composite = composite_score(rep)
         if metric_writer is not None:
             metric_writer.log(
                 {"swin/loss": np.mean(losses), "swin/macro_f1": rep["macro_f1"],
@@ -359,23 +382,17 @@ def finetune(
             best = {"composite": composite, "epoch": epoch, "report": rep,
                     "thresholds": th}
             best_params = params
+            best_logits, best_ys = logits_ep, ys  # reused for calibration
             bad = 0
         else:
             bad += 1
             if bad >= cfg.patience:
                 break
 
-    # temperature calibration on the val set with the best params
-    logits_all, ys_all = [], []
-    for batch in val_batches():
-        out = model.apply({"params": best_params}, jnp.asarray(batch["image"]))
-        v = batch.get("valid")
-        keep = slice(None) if v is None else np.asarray(v) > 0
-        logits_all.append(np.asarray(out["logits"])[keep])
-        ys_all.append(np.asarray(batch["labels"])[keep])
-    temperature = calibrate_temperature(
-        np.concatenate(logits_all), np.concatenate(ys_all)
-    )
+    # temperature calibration on the best epoch's cached val logits
+    # (probs above are just sigmoid(logits), so re-inferring the whole
+    # val set with best_params would be a pure waste of a second pass)
+    temperature = calibrate_temperature(best_logits, best_ys)
 
     return {
         "params": best_params,

@@ -94,16 +94,24 @@ class CheckpointManager:
         )
         if not better:
             return False
-        self._best_metric = value
+        # write-then-swap: the previous best stays on disk (and
+        # self._best_metric unchanged) until the new checkpoint is fully
+        # durable, so a crash mid-save cannot lose the only best copy
+        # while best_metrics.json still advertises its value
         best_dir = self.dir / "best"
+        tmp_dir = self.dir / "best.tmp"
+        if tmp_dir.exists():
+            shutil.rmtree(tmp_dir)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(tmp_dir / "state", state)
+        ckptr.wait_until_finished()
         if best_dir.exists():
             shutil.rmtree(best_dir)
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(best_dir / "state", state)
-        ckptr.wait_until_finished()
+        tmp_dir.replace(best_dir)
         (self.dir / "best_metrics.json").write_text(
             json.dumps({"_best_value": value, **metrics}, indent=1, default=float)
         )
+        self._best_metric = value
         return True
 
     def restore_best(self, state_template: Any) -> Any:

@@ -33,7 +33,7 @@ def test_bert_port_matches_hf(rng):
     mask_np = np.ones((2, 10), np.int64)
     mask_np[1, 6:] = 0
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids_np), jnp.asarray(mask_np))
-    converted = convert_hf_bert(hf.state_dict(), num_layers=2, num_heads=4)
+    converted = convert_hf_bert(hf.state_dict(), num_layers=2)
     out = model.apply({"params": converted}, jnp.asarray(ids_np), jnp.asarray(mask_np))
 
     with torch.no_grad():
@@ -63,7 +63,7 @@ def test_swin_port_matches_hf(rng):
     model = SwinEncoder(cfg)
     img_np = rng.random((2, 56, 56, 3)).astype(np.float32)
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(img_np))
-    converted = convert_hf_swin(hf.state_dict(), depths=(2, 2), num_heads=(2, 4))
+    converted = convert_hf_swin(hf.state_dict(), depths=(2, 2))
     out = model.apply({"params": converted}, jnp.asarray(img_np))
 
     with torch.no_grad():
@@ -104,7 +104,7 @@ def test_medclip_port_matches_reference_composition(rng):
     # text branch must be ignored
     state["text_model.whatever.weight"] = torch.randn(3, 3)
 
-    converted = convert_medclip_vit(state, depths=(2, 2), num_heads=(2, 4))
+    converted = convert_medclip_vit(state, depths=(2, 2))
 
     enc = MedCLIPVisionEncoder(
         swin=SwinConfig(img_size=56, embed_dim=24, depths=(2, 2),
