@@ -207,10 +207,13 @@ class KGTrainer:
             feats = feats @ proj
         for row, idx in enumerate(features.keys()):
             ent[idx] = feats[row]
-        if renorm:
-            ent /= np.maximum(np.linalg.norm(ent, axis=1, keepdims=True), 1e-8)
         self.params = dict(self.params)
         self.params["ent"] = jnp.asarray(ent)
+        if renorm:
+            # via _renorm_entities so RotatE's complex-pair modulus
+            # structure is preserved here exactly as in the per-epoch
+            # renorm (a raw L2 over concatenated re/im would corrupt it)
+            self._renorm_entities()
 
     # -- training -----------------------------------------------------------------
 
@@ -297,10 +300,16 @@ class KGTrainer:
         rng = jax.random.PRNGKey(cfg.seed)
         n = self.train_arr.shape[0]
         B = min(cfg.batch_size, n)
-        steps_per_epoch = max(1, n // B)
+        # ceil: the final partial step wraps around (static shapes) so the
+        # n mod B remainder triples train every epoch instead of dropping
+        steps_per_epoch = -(-n // B)
 
         best = {"mrr": -1.0, "epoch": -1}
-        best_params = self.params
+        # real copy, not an alias: the first train_step donates
+        # self.params' buffers, which would leave an aliased best_params
+        # pointing at deleted arrays if no epoch ever improves (e.g. NaN
+        # val MRR after divergence)
+        best_params = jax.tree_util.tree_map(jnp.copy, self.params)
         bad_epochs = 0
         np_rng = np.random.default_rng(cfg.seed)
 
@@ -349,20 +358,35 @@ class KGTrainer:
         """Filtered MRR / Hits@K, head+tail replacement (KG_Trainer.py:1088-1219)."""
         if triples is None or len(triples) == 0:
             return {"mrr": 0.0, **{f"hits@{k}": 0.0 for k in ks}}
-        score_tails = jax.jit(make_score_all_fn(self.model_cfg, tails=True))
-        score_heads = jax.jit(make_score_all_fn(self.model_cfg, tails=False))
+        # jitted score-all programs are cached across evaluate() calls:
+        # per-call jax.jit wrappers would retrace/recompile every epoch
+        # (minutes per compile on the tunneled TPU, CLAUDE.md)
+        if getattr(self, "_eval_score_fns", None) is None:
+            self._eval_score_fns = {
+                True: jax.jit(make_score_all_fn(self.model_cfg, tails=True)),
+                False: jax.jit(make_score_all_fn(self.model_cfg, tails=False)),
+            }
         chunk = self.cfg.eval_chunk
         ranks: List[float] = []
         for tails in (True, False):
-            fn = score_tails if tails else score_heads
+            fn = self._eval_score_fns[tails]
             for start in range(0, len(triples), chunk):
                 part = triples[start : start + chunk]
                 s, r, o = part[:, 0], part[:, 1], part[:, 2]
                 anchor = s if tails else o
                 target = o if tails else s
+                # pad the last partial chunk to the static shape (one
+                # compiled program per direction, not per chunk size) and
+                # slice the pad rows back off
+                b_real = len(part)
+                a_in, r_in = anchor, r
+                if b_real < chunk:
+                    pad = chunk - b_real
+                    a_in = np.concatenate([anchor, np.repeat(anchor[-1:], pad)])
+                    r_in = np.concatenate([r, np.repeat(r[-1:], pad)])
                 scores = np.array(  # writable copy — masked in place below
-                    fn(self.params, jnp.asarray(anchor), jnp.asarray(r))
-                )  # (b, E)
+                    fn(self.params, jnp.asarray(a_in), jnp.asarray(r_in))
+                )[:b_real]  # (b, E)
                 # vectorized filtered ranking: mask all known positives,
                 # then rank = 1 + #entities scoring above the target
                 b = len(part)

@@ -86,8 +86,8 @@ table{{border-collapse:collapse}} td,th{{border:1px solid #ddd;padding:4px 8px}}
  <div class="card">
   <label>DICOM file <input type="file" name="dicom_file" required></label><br><br>
   <label>Text query <input type="text" name="text_query" size="60"></label><br><br>
-  <label>Threshold <input type="number" name="threshold" value="0.5"
-     step="0.05" min="0" max="1"></label>
+  <label>Threshold <input type="number" name="threshold"
+     placeholder="calibrated" step="0.05" min="0" max="1"></label>
   <label><input type="checkbox" name="show_retrieval_detail"> retrieval detail</label>
   <button type="submit">Analyze</button>
  </div>
@@ -169,7 +169,12 @@ def render_results(payload: Dict[str, Any]) -> str:
 
 
 def run_inference(ctx: DemoContext, dicom_bytes: bytes, text: str,
-                  threshold: float, detail: bool = False) -> Dict[str, Any]:
+                  threshold: Optional[float], detail: bool = False,
+                  render_images: bool = True) -> Dict[str, Any]:
+    """``threshold=None`` -> the run's per-class calibrated thresholds
+    (api.py:predict). ``render_images=False`` (JSON API) skips the PNG
+    base64 overlays and token HTML the JSON response never carried —
+    agreement/cross-map metrics still compute from the raw maps."""
     import time
 
     res = ctx.res
@@ -190,34 +195,38 @@ def run_inference(ctx: DemoContext, dicom_bytes: bytes, text: str,
     attn = exp["attention"]
     base = (img[0, :, :, 0] + 1.0) / 2.0  # un-normalize for display
 
-    images = {"attention": _png_base64(base, attn["attn_final"][0])}
+    images = {}
+    if render_images:
+        images["attention"] = _png_base64(base, attn["attn_final"][0])
     agreement = {}
     if exp["per_target"]:
         t = next(iter(exp["per_target"]))
         maps = exp["per_target"][t]
         if "ig" in maps:
-            images["integrated_gradients"] = _png_base64(base, maps["ig"][0])
+            if render_images:
+                images["integrated_gradients"] = _png_base64(base, maps["ig"][0])
             agreement["attn_vs_ig"] = compare_maps(attn["attn_final"][0], maps["ig"][0])
         if "grad_cam" in maps:
-            images["grad_cam"] = _png_base64(base, maps["grad_cam"][0])
+            if render_images:
+                images["grad_cam"] = _png_base64(base, maps["grad_cam"][0])
             agreement["attn_vs_gradcam"] = compare_maps(
                 attn["attn_final"][0], maps["grad_cam"][0]
             )
-
-    tokens = [tok.inv_vocab.get(int(i), "?") for i in ids[0] if int(i) != tok.pad_id]
-    token_html = token_attention_html(
-        tokens, attn["token_attention"][0][: len(tokens)]
-    )
 
     payload = {
         "top_labels": out["top_labels"][0],
         "predicted": out["predicted"][0],
         "retrieval": out.get("retrieval", [[]])[0],
-        "images": images,
-        "token_html": token_html,
         "agreement": agreement,
         "latency_ms": (time.perf_counter() - t0) * 1e3,
     }
+    if render_images:
+        tokens = [tok.inv_vocab.get(int(i), "?")
+                  for i in ids[0] if int(i) != tok.pad_id]
+        payload["images"] = images
+        payload["token_html"] = token_attention_html(
+            tokens, attn["token_attention"][0][: len(tokens)]
+        )
 
     # per-retrieved-item FULL explain (attention + IG + Grad-CAM + agreement)
     # + cross-image map comparisons + diversity (reference app.py:449-630).
@@ -258,21 +267,23 @@ def run_inference(ctx: DemoContext, dicom_bytes: bytes, text: str,
                 r_base = (r_img[b, :, :, 0] + 1.0) / 2.0
                 fin = full["attn_final"][b]
                 order = np.argsort(-r_probs[b])[:5]
-                details.append({
+                d = {
                     "id": rid,
                     "score": score,
                     "top_labels": [(names[i], float(r_probs[b, i]))
                                    for i in order],
-                    "overlay": _png_base64(r_base, fin),
-                    "overlay_ig": _png_base64(r_base, r_ig[b]),
-                    "overlay_gradcam": _png_base64(r_base, r_cam[b]),
                     "agreement": {
                         "attn_vs_ig": compare_maps(fin, r_ig[b]),
                         "attn_vs_gradcam": compare_maps(fin, r_cam[b]),
                     },
                     "cross_map": compare_maps(q_map, fin),
                     "cross_map_ig": compare_maps(q_map, r_ig[b]),
-                })
+                }
+                if render_images:
+                    d["overlay"] = _png_base64(r_base, fin)
+                    d["overlay_ig"] = _png_base64(r_base, r_ig[b])
+                    d["overlay_gradcam"] = _png_base64(r_base, r_cam[b])
+                details.append(d)
             payload["retrieval_detail"] = details
             if len(items) >= 2:
                 payload["retrieval_diversity"] = embedding_diversity(
@@ -331,18 +342,21 @@ def make_handler(ctx: DemoContext):
                         dicom = base64.b64decode(req["dicom_b64"], validate=True)
                         if not dicom:
                             raise ValueError("empty dicom payload")
+                        # absent/blank threshold -> None -> the run's
+                        # per-class calibrated thresholds (api.py:predict)
+                        t_raw = req.get("threshold")
+                        threshold = (None if t_raw in (None, "")
+                                     else float(t_raw))
+                        detail = bool(req.get("detail", False))
                     except (ValueError, KeyError, TypeError) as e:
                         self._send(
                             400, f"bad request: {html.escape(repr(e))}".encode()
                         )
                         return
                     payload = run_inference(
-                        ctx, dicom, req.get("text", ""),
-                        float(req.get("threshold", 0.5)),
-                        detail=bool(req.get("detail", False)),
+                        ctx, dicom, req.get("text", ""), threshold,
+                        detail=detail, render_images=False,
                     )
-                    payload.pop("token_html", None)
-                    payload.pop("images", None)
                     self._send(200, json.dumps(payload, default=float).encode(),
                                "application/json")
                     return
@@ -351,7 +365,8 @@ def make_handler(ctx: DemoContext):
                     fields = _parse_multipart(body, ctype)
                     if "dicom_file" not in fields:
                         raise KeyError("dicom_file field missing")
-                    threshold = float(fields.get("threshold", b"0.5"))
+                    t_raw = fields.get("threshold", b"").strip()
+                    threshold = float(t_raw) if t_raw else None
                 except (ValueError, KeyError) as e:
                     self._send(400, f"bad upload: {html.escape(repr(e))}".encode())
                     return
@@ -371,20 +386,37 @@ def make_handler(ctx: DemoContext):
 
 
 def _parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
-    """Minimal multipart/form-data parser (no cgi module in py3.13+)."""
-    m = content_type.split("boundary=")
-    if len(m) != 2:
+    """Minimal multipart/form-data parser (no cgi module in py3.13+).
+
+    Boundary extraction handles RFC 2046 quoted boundaries and trailing
+    Content-Type parameters. Part content is delimited EXACTLY: only the
+    single CRLF preceding the next boundary is consumed (as part of the
+    delimiter), never stripped byte-classes — a binary DICOM whose
+    PixelData ends in 0x0A/0x0D/0x2D must arrive intact."""
+    boundary = None
+    for param in content_type.split(";"):
+        k, _, v = param.strip().partition("=")
+        if k.lower() == "boundary":
+            v = v.strip()
+            if len(v) >= 2 and v[0] == v[-1] == '"':
+                v = v[1:-1]
+            boundary = v.encode()
+    if not boundary:
         raise ValueError("not multipart")
-    boundary = m[1].strip().encode()
+    delim = b"\r\n--" + boundary
     fields: Dict[str, bytes] = {}
-    for part in body.split(b"--" + boundary):
-        if b"\r\n\r\n" not in part:
+    # prepend CRLF so the leading boundary matches the same delimiter
+    for part in (b"\r\n" + body).split(delim)[1:]:
+        if part.startswith(b"--"):  # closing delimiter
+            break
+        if not part.startswith(b"\r\n"):
             continue
-        head, _, data = part.partition(b"\r\n\r\n")
-        data = data.rstrip(b"\r\n-")
+        head, sep, data = part[2:].partition(b"\r\n\r\n")
+        if not sep:
+            continue
         name = None
         for line in head.split(b"\r\n"):
-            if b"Content-Disposition" in line and b"name=" in line:
+            if b"Content-Disposition" in line and b'name="' in line:
                 name = line.split(b'name="')[1].split(b'"')[0].decode()
         if name:
             fields[name] = data

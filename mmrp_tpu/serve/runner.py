@@ -44,10 +44,19 @@ def load_rerank_inputs(run_dir, data_dir=None, warn=True):
         )
     kg_kwargs: Dict[str, Any] = {}
     kg_dir = run / "kg"
-    if (kg_dir / "node_embeddings.npy").exists():
+    # both files or neither: KGTrainer.save only writes node2id.json when
+    # given node_names, and an embeddings table without the id map is
+    # unusable — serve without the KG term instead of 500ing per request
+    if ((kg_dir / "node_embeddings.npy").exists()
+            and (kg_dir / "node2id.json").exists()):
         kg_kwargs = dict(
             kg_node_embeddings=np.load(kg_dir / "node_embeddings.npy"),
             kg_node2id=json.loads((kg_dir / "node2id.json").read_text()),
+        )
+    elif (kg_dir / "node_embeddings.npy").exists():
+        print(
+            "[serve] WARNING: kg/node_embeddings.npy present but "
+            "node2id.json missing — KG rerank term disabled"
         )
     return labels_by_id, records_by_id, kg_kwargs
 

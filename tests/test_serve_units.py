@@ -40,6 +40,29 @@ def test_multipart_parser():
     assert fields["dicom_file"] == b"BINARYDATA"
 
 
+def test_multipart_parser_binary_safe_and_quoted_boundary():
+    """Binary payloads ending in CR/LF/'-' bytes must arrive intact (the
+    old rstrip(b'\\r\\n-') truncated ~1.2%-per-trailing-byte of DICOM
+    uploads), and RFC 2046 quoted boundaries / trailing Content-Type
+    params must parse."""
+    boundary = "XBOUND"
+    payload = b"PIXELDATA\x0a\x0d\x2d\x2d\x0a"  # ends in LF CR - - LF
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="dicom_file"; filename="a.dcm"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n".encode().decode()
+    ).encode() + payload + (
+        f"\r\n--{boundary}--\r\n"
+    ).encode()
+    for ctype in (
+        f'multipart/form-data; boundary="{boundary}"',
+        f"multipart/form-data; boundary={boundary}; charset=utf-8",
+        f"multipart/form-data; boundary={boundary}",
+    ):
+        fields = _parse_multipart(body, ctype)
+        assert fields["dicom_file"] == payload, ctype
+
+
 def test_render_results_sections():
     payload = {
         "top_labels": [("cardiac", 0.9)],
