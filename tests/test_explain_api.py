@@ -19,7 +19,8 @@ MICRO_TEXT = TextConfig.small(vocab_size=64, hidden_dim=16, num_layers=1,
 
 
 @pytest.fixture(scope="module")
-def setup(rng):
+def setup():
+    rng = np.random.default_rng(2709)  # module fixture: own stream
     cfg = MultiModalConfig(swin=MICRO_SWIN, text=MICRO_TEXT, joint_dim=16,
                            num_fusion_layers=1, num_heads=2, num_classes=8,
                            max_text_len=8)

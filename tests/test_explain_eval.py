@@ -13,7 +13,8 @@ from mmrp_tpu.retrieval.gallery import RetrievalEngine
 
 
 @pytest.fixture(scope="module")
-def world(rng):
+def world():
+    rng = np.random.default_rng(2709)  # module fixture: own stream
     """Tiny predictor + gallery whose items have real model embeddings."""
     swin = SwinConfig.micro(use_pallas=False)
     text = TextConfig.small(vocab_size=64, hidden_dim=16, num_layers=1,

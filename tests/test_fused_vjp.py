@@ -84,7 +84,11 @@ def test_fused_mlp_grads_match_xla(rng, post_ln, include_residual):
         )
         return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape)))
 
-    np.testing.assert_allclose(loss_fused(*args), loss_xla(*args), rtol=2e-5)
+    # the scalar loss is a sin-weighted sum that cancels to ~1e-2 from
+    # O(1) terms, so benign interpret-vs-XLA accumulation-order diffs
+    # (~1e-6 elementwise) amplify; compare at the same tolerance as the
+    # gradients rather than asserting cancellation luck
+    np.testing.assert_allclose(loss_fused(*args), loss_xla(*args), rtol=2e-4)
     g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
     g_xla = jax.grad(loss_xla, argnums=tuple(range(7)))(*args)
     for gf, gx in zip(g_fused, g_xla):

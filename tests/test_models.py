@@ -37,7 +37,8 @@ def _mm_cfg(mode="multimodal"):
 
 
 @pytest.fixture(scope="module")
-def mm_setup(rng):
+def mm_setup():
+    rng = np.random.default_rng(2709)  # module fixture: own stream
     img = jnp.asarray(rng.random((2, 56, 56, 3)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, 128, (2, 16)), jnp.int32)
     mask = jnp.ones((2, 16), jnp.int32)
