@@ -78,7 +78,8 @@ class MMRPredictor:
     ) -> List[Tuple[str, float]]:
         if self.retriever is None:
             raise RuntimeError("no retrieval engine attached")
-        extra = max(K * 3, K)  # over-fetch for reranking
+        # over-fetch only when a reranker will actually reorder the pool
+        extra = K * 3 if (rerank and self.reranker is not None) else K
         hits = self.retriever.retrieve(joint_emb, K=extra, query_id=query_id)
         if rerank and self.reranker is not None and hits:
             cand_ids = [h[0] for h in hits]
@@ -126,14 +127,25 @@ class MMRPredictor:
                 [(self.label_names[i], float(p[i])) for i in order]
             )
         if retrieve and self.retriever is not None:
+            # query_id names ONE gallery row; applying it (self-exclusion +
+            # reranker keying) to every element of a batch would corrupt
+            # the other samples' results
+            qid = query_id if B == 1 else None
             results["retrieval"] = [
-                self.retrieve(out["joint_emb"][b], K=K, query_id=query_id)
+                self.retrieve(out["joint_emb"][b], K=K, query_id=qid)
                 for b in range(B)
             ]
         if explain:
             targets = explain_targets
             if targets is None:
-                targets = np.argsort(-probs[0])[:top_k_labels].tolist()
+                if B == 1:
+                    targets = np.argsort(-probs[0])[:top_k_labels].tolist()
+                else:
+                    # per-sample auto targets: one (B,) vector per rank
+                    # slot, so every sample is explained for its OWN
+                    # top-k classes (keyed "rank{j}" in per_target)
+                    order = np.argsort(-probs, axis=1)[:, :top_k_labels]
+                    targets = [order[:, j] for j in range(order.shape[1])]
             results["explanation"] = self.explainer.explain(
                 image, input_ids, attention_mask, targets
             )

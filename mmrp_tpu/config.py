@@ -52,6 +52,7 @@ class Config:
     use_focal: bool = False
     use_hybrid: bool = True
     image_backbone: str = "swin"        # swin | swin_tiny | resnet50 | medclip
+    modality: str = "multimodal"        # multimodal | image | text (ref model.py:461-479)
     fusion_type: str = "cross"
     joint_dim: int = 1024
     num_heads: int = 8
@@ -191,6 +192,8 @@ class Config:
             raise ValueError(f"epochs must be > 0, got {self.epochs!r}")
         if not (isinstance(self.temperature, (int, float)) and self.temperature > 0.0):
             raise ValueError(f"temperature must be > 0, got {self.temperature!r}")
+        if self.modality not in ("multimodal", "image", "text"):
+            raise ValueError(f"invalid modality: {self.modality!r}")
         if self.kg_model not in ("TransE", "TransH", "RotatE", "CompGCN"):
             raise ValueError(f"invalid kg_model: {self.kg_model!r}")
         if self.kg_mode not in ("dataset", "ontology", "hybrid"):

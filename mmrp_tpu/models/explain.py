@@ -518,18 +518,24 @@ class ExplanationEngine:
         include_gradcam: bool = True,
     ) -> Dict[str, Any]:
         maps = self.attention_maps(image, input_ids, attention_mask)
-        per_target: Dict[int, Dict[str, np.ndarray]] = {}
-        for t in targets:
+        per_target: Dict[Any, Dict[str, np.ndarray]] = {}
+        for j, t in enumerate(targets):
+            # scalar target -> one class for the whole batch (key = class
+            # id); (B,) vector -> each sample attributed for its OWN class
+            # (key = "rank{j}") — the batched-predict auto-target path
+            t_arr = np.asarray(t)
+            scalar = t_arr.ndim == 0
+            tgt = int(t_arr) if scalar else t_arr
             entry: Dict[str, np.ndarray] = {}
             if include_ig:
                 entry["ig"] = self.integrated_gradients(
-                    image, input_ids, attention_mask, int(t), ig_steps
+                    image, input_ids, attention_mask, tgt, ig_steps
                 )
             if include_gradcam:
                 entry["grad_cam"] = self.grad_cam(
-                    image, input_ids, attention_mask, int(t)
+                    image, input_ids, attention_mask, tgt
                 )
-            per_target[int(t)] = entry
+            per_target[int(t_arr) if scalar else f"rank{j}"] = entry
         return {"attention": maps, "per_target": per_target}
 
 

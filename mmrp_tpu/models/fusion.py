@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mmrp_tpu.models.layers import DenseParams, LnParams, MhaParams
+from mmrp_tpu.models.layers import DenseParams, LnParams, MhaParams, ln_f32
 
 
 def _use_fused_attn(enabled: bool, deterministic: bool, dropout: float,
@@ -50,7 +50,7 @@ def _use_fused_attn(enabled: bool, deterministic: bool, dropout: float,
     )
 
 
-def _additive_mask(mask: Optional[jnp.ndarray], B: int, N: int):
+def _additive_mask(mask: Optional[jnp.ndarray]):
     """(B, N) 0/1 validity -> (B, N) additive f32 (0 / -1e9), or None."""
     if mask is None:
         return None
@@ -91,7 +91,7 @@ class CrossAttention(nn.Module):
         (wo, bo) = DenseParams(D, name="out")(D)
         B, Lq, _ = q_in.shape
         Lk = kv_in.shape[1]
-        add_mask = _additive_mask(kv_mask, B, Lk)
+        add_mask = _additive_mask(kv_mask)
 
         if (
             not need_weights
@@ -150,12 +150,8 @@ class CrossAttention(nn.Module):
             out = ctx @ wo.astype(q_in.dtype) + bo.astype(q_in.dtype)
         if post_ln is not None:
             ln_s, ln_b = post_ln
-            yf = (q_in + out).astype(jnp.float32)
-            mu = yf.mean(-1, keepdims=True)
-            var = ((yf - mu) ** 2).mean(-1, keepdims=True)
-            out = ((yf - mu) * jax.lax.rsqrt(var + 1e-6)
-                   * ln_s.astype(jnp.float32)[None, None, :]
-                   + ln_b.astype(jnp.float32)[None, None, :]).astype(q_in.dtype)
+            out = ln_f32(q_in + out, ln_s, ln_b, q_in.dtype,
+                         affine_in_f32=True)
         return out, (attn if need_weights else None)
 
 
@@ -192,7 +188,7 @@ class PreFusionEnhancer(nn.Module):
         if N > self.max_len:  # padded input: zero pos on pad rows
             pos_n = jnp.concatenate(
                 [pos[0], jnp.zeros((N - self.max_len, D), pos.dtype)], axis=0)
-        add_mask = _additive_mask(mask, B, N)
+        add_mask = _additive_mask(mask)
 
         if not self.quant and _use_fused_attn(
                 self.use_fused, deterministic, self.dropout, N):
@@ -210,11 +206,7 @@ class PreFusionEnhancer(nn.Module):
             )
 
         base = x + pos_n[None].astype(x.dtype)
-        yf = base.astype(jnp.float32)
-        mu = yf.mean(-1, keepdims=True)
-        var = ((yf - mu) ** 2).mean(-1, keepdims=True)
-        y = ((yf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
-        y = y * ln_s.astype(self.dtype) + ln_b.astype(self.dtype)
+        y = ln_f32(base, ln_s, ln_b, self.dtype)
         h, d = self.num_heads, D // self.num_heads
         if self.quant:
             from mmrp_tpu.ops.quant import quant_dot, quant_dot_multi

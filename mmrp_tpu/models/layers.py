@@ -49,6 +49,26 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+def ln_f32(x, scale, bias, out_dtype, affine_in_f32: bool = False,
+           eps: float = 1e-6):
+    """THE hand-rolled f32 LayerNorm of the XLA model paths (params shared
+    with the fused Pallas kernels, so a Dense/LayerNorm module can't be
+    used). eps and the cast discipline must match the in-kernel LNs
+    (ops/fused_attention, fused_mlp, fused_swin_block) — the fused-vs-XLA
+    parity tests pin this. ``affine_in_f32`` applies scale/bias before the
+    output cast (the CrossAttention post-LN form); default applies them in
+    ``out_dtype`` after the cast (every other site)."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    n = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if affine_in_f32:
+        return (n * scale.astype(jnp.float32)
+                + bias.astype(jnp.float32)).astype(out_dtype)
+    n = n.astype(out_dtype)
+    return n * scale.astype(out_dtype) + bias.astype(out_dtype)
+
+
 def sinusoidal_positions(length: int, dim: int) -> np.ndarray:
     """Classic sin/cos positional table (reference model.py:91-107)."""
     pos = np.arange(length)[:, None].astype(np.float64)

@@ -31,7 +31,7 @@ from flax import linen as nn
 
 from mmrp_tpu.config import Config
 from mmrp_tpu.models.fusion import CrossModalFusion
-from mmrp_tpu.models.layers import DropPath, Mlp
+from mmrp_tpu.models.layers import DropPath, Mlp, ln_f32
 from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
 from mmrp_tpu.models.text_encoder import TextConfig, TextEncoder
 
@@ -79,7 +79,10 @@ class MultiModalConfig:
         elif backbone.startswith("efficientnet"):
             vision_backbone = "efficientnet"
         elif backbone in ("medclip", "vit"):
-            vision_backbone = "medclip" if flagship else "vit"
+            # honor the explicit choice: "vit" is the generic ViT encoder,
+            # "medclip" the MedCLIP Swin-tower wrapper — conflating them
+            # by flagship-ness would silently run the wrong ablation
+            vision_backbone = backbone
         else:
             vision_backbone = "swin"
         tq = "int8_kernel" if getattr(cfg, "serve_quant", "none") == "int8" \
@@ -109,6 +112,7 @@ class MultiModalConfig:
             num_fusion_layers=cfg.num_fusion_layers,
             num_heads=cfg.num_heads,
             num_classes=num_classes,
+            mode=cfg.modality,
             use_shared_ffn=cfg.use_shared_ffn,
             use_cls_only=cfg.use_cls_only,
             max_text_len=cfg.text_dim,
@@ -127,6 +131,15 @@ class Backbones(nn.Module):
     @nn.compact
     def __call__(self, image, input_ids, attention_mask, deterministic=True):
         cfg = self.config
+        # unimodal modes skip the unused tower entirely (cfg.mode is
+        # trace-time static; reference model.py:461-479 selects modes in
+        # forward but still pays both towers — here text mode does not
+        # build or run the vision encoder at all, and vice versa)
+        if cfg.mode == "text":
+            txt = TextEncoder(cfg.text, dtype=self.dtype, name="text")(
+                input_ids, attention_mask, deterministic
+            )
+            return {"txt_tokens": txt["tokens"], "txt_cls": txt["cls"]}
         if cfg.vision_backbone in ("resnet50", "resnet"):
             from mmrp_tpu.models.resnet import ResNetConfig, ResNetEncoder
 
@@ -161,6 +174,8 @@ class Backbones(nn.Module):
             vis = SwinEncoder(cfg.swin, dtype=self.dtype, name="swin")(
                 image, deterministic
             )
+        if cfg.mode == "image":
+            return {"img_patches": vis["patches"], "img_global": vis["global"]}
         txt = TextEncoder(cfg.text, dtype=self.dtype, name="text")(
             input_ids, attention_mask, deterministic
         )
@@ -238,7 +253,7 @@ class FusionLayer(nn.Module):
 
         from mmrp_tpu.models.layers import sinusoidal_positions
 
-        sin = jnp.asarray(sinusoidal_positions(Lp + 1, D))
+        sin = jnp.asarray(sinusoidal_positions(Lp, D))
 
         if use_fused:
             from mmrp_tpu.ops.fused_attention import fused_attention
@@ -272,11 +287,7 @@ class FusionLayer(nn.Module):
             ).reshape(B, Lp, D)
         else:
             seq = seq + sin[None, : seq.shape[1]].astype(seq.dtype)
-            yf = seq.astype(jnp.float32)
-            mu = yf.mean(-1, keepdims=True)
-            var = ((yf - mu) ** 2).mean(-1, keepdims=True)
-            y = ((yf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
-            y = y * ln0_s.astype(self.dtype) + ln0_b.astype(self.dtype)
+            y = ln_f32(seq, ln0_s, ln0_b, self.dtype)
             B, L, _ = seq.shape
             h, dh = cfg.num_heads, D // cfg.num_heads
             if quant:
@@ -301,11 +312,7 @@ class FusionLayer(nn.Module):
                 y = y @ wo.astype(seq.dtype) + bo.astype(seq.dtype)
             seq = seq + DropPath(self.drop_path)(y, deterministic)
 
-            yf = seq.astype(jnp.float32)
-            mu = yf.mean(-1, keepdims=True)
-            var = ((yf - mu) ** 2).mean(-1, keepdims=True)
-            y = ((yf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
-            y = y * ln1_s.astype(self.dtype) + ln1_b.astype(self.dtype)
+            y = ln_f32(seq, ln1_s, ln1_b, self.dtype)
             if self.shared_ffn is not None:
                 y = self.shared_ffn(y, deterministic)
             elif quant:
@@ -376,19 +383,29 @@ class MultiModalRetrievalModel(nn.Module):
                 image, input_ids, attention_mask, deterministic
             )
 
-        img_patches = nn.Dense(D, dtype=self.dtype, name="img_proj")(feats["img_patches"])
-        if patch_delta is not None:
-            # explainability hook: gradients w.r.t. this zero-valued input are
-            # gradients w.r.t. the projected patches (Grad-CAM, explain.py)
-            img_patches = img_patches + patch_delta
-        img_global = nn.Dense(D, dtype=self.dtype, name="img_global_proj")(feats["img_global"])
-        txt_tokens = nn.Dense(D, dtype=self.dtype, name="txt_proj")(feats["txt_tokens"])
-        if txt_delta is not None:
-            # explainability hook: grads w.r.t. this zero input are grads
-            # w.r.t. the projected text tokens (token-level IG/saliency)
-            txt_tokens = txt_tokens + txt_delta
-        txt_cls = nn.Dense(D, dtype=self.dtype, name="txt_cls_proj")(feats["txt_cls"])
-        txt_mask = attention_mask[:, : txt_tokens.shape[1]]
+        # explain hooks are meaningless for a tower the mode replaces with
+        # a null token — fail loudly instead of returning silent zero grads
+        if cfg.mode == "text" and patch_delta is not None:
+            raise ValueError("patch_delta requires the image tower (mode='text')")
+        if cfg.mode == "image" and txt_delta is not None:
+            raise ValueError("txt_delta requires the text tower (mode='image')")
+
+        B0 = input_ids.shape[0]
+        if cfg.mode != "text":
+            img_patches = nn.Dense(D, dtype=self.dtype, name="img_proj")(feats["img_patches"])
+            if patch_delta is not None:
+                # explainability hook: gradients w.r.t. this zero-valued input
+                # are gradients w.r.t. the projected patches (Grad-CAM)
+                img_patches = img_patches + patch_delta
+            img_global = nn.Dense(D, dtype=self.dtype, name="img_global_proj")(feats["img_global"])
+        if cfg.mode != "image":
+            txt_tokens = nn.Dense(D, dtype=self.dtype, name="txt_proj")(feats["txt_tokens"])
+            if txt_delta is not None:
+                # explainability hook: grads w.r.t. this zero input are grads
+                # w.r.t. the projected text tokens (token-level IG/saliency)
+                txt_tokens = txt_tokens + txt_delta
+            txt_cls = nn.Dense(D, dtype=self.dtype, name="txt_cls_proj")(feats["txt_cls"])
+            txt_mask = attention_mask[:, : txt_tokens.shape[1]]
 
         # modality gating with learned null tokens — static shapes in all modes
         if cfg.mode == "image":
@@ -396,16 +413,16 @@ class MultiModalRetrievalModel(nn.Module):
                 "null_txt", nn.initializers.truncated_normal(0.02), (1, 1, D), jnp.float32
             )
             txt_tokens = jnp.broadcast_to(
-                null_txt.astype(txt_tokens.dtype), (txt_tokens.shape[0], 1, D)
+                null_txt.astype(self.dtype), (B0, 1, D)
             )
             txt_cls = txt_tokens[:, 0, :]
-            txt_mask = jnp.ones((txt_tokens.shape[0], 1), dtype=attention_mask.dtype)
+            txt_mask = jnp.ones((B0, 1), dtype=attention_mask.dtype)
         elif cfg.mode == "text":
             null_img = self.param(
                 "null_img", nn.initializers.truncated_normal(0.02), (1, 1, D), jnp.float32
             )
             img_patches = jnp.broadcast_to(
-                null_img.astype(img_patches.dtype), (img_patches.shape[0], 1, D)
+                null_img.astype(self.dtype), (B0, 1, D)
             )
             img_global = img_patches[:, 0, :]
 

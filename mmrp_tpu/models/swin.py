@@ -32,7 +32,7 @@ from flax import linen as nn
 
 import os
 
-from mmrp_tpu.models.layers import DenseParams, DropPath, LnParams, Mlp
+from mmrp_tpu.models.layers import DenseParams, DropPath, LnParams, Mlp, ln_f32
 from mmrp_tpu.ops.window_attention import (
     build_rel_bias,
     shift_attn_mask,
@@ -254,11 +254,7 @@ class WindowAttention(nn.Module):
             return out, include_residual
 
         # XLA path: manual LN (params shared with the fused path)
-        xf = x.astype(jnp.float32)
-        mu = xf.mean(-1, keepdims=True)
-        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
-        y = y * ln_scale.astype(self.dtype) + ln_bias.astype(self.dtype)
+        y = ln_f32(x, ln_scale, ln_bias, self.dtype)
 
         # Default ON for the TPU XLA branch (i.e. training, where
         # use_pallas is off): measured back-to-back on the Swin-B b64
@@ -487,11 +483,7 @@ class SwinBlock(nn.Module):
                 return out
             return x + DropPath(self.drop_path)(out, deterministic)
 
-        xf = x.astype(jnp.float32)
-        mu = xf.mean(-1, keepdims=True)
-        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
-        y = y * ln_scale.astype(self.dtype) + ln_bias.astype(self.dtype)
+        y = ln_f32(x, ln_scale, ln_bias, self.dtype)
         y = jax.nn.gelu(y @ w1.astype(self.dtype) + b1.astype(self.dtype))
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = y @ w2.astype(self.dtype) + b2.astype(self.dtype)

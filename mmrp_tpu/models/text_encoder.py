@@ -98,7 +98,9 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, x, key_mask, deterministic: bool = True):
         """x: (B, L, D); key_mask: (B, L) ADDITIVE f32 (0 valid / -1e9 pad)."""
-        from mmrp_tpu.models.layers import DenseParams, LnParams, MhaParams
+        from mmrp_tpu.models.layers import (
+            DenseParams, LnParams, MhaParams, ln_f32,
+        )
 
         cfg = self.config
         (wq, bq), (wk, bk), (wv, bv), (wo, bo) = MhaParams(
@@ -173,11 +175,7 @@ class BertLayer(nn.Module):
             else:
                 y = ctx @ wo.astype(x.dtype) + bo.astype(x.dtype)
             y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
-            xf = (x + y).astype(jnp.float32)
-            mu = xf.mean(-1, keepdims=True)
-            var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-            x = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
-            x = x * ln_s.astype(self.dtype) + ln_b.astype(self.dtype)
+            x = ln_f32(x + y, ln_s, ln_b, self.dtype)
 
         # FFN params declared explicitly: fused Pallas kernel (inference) and
         # autodiff XLA path share one checkpoint tree (port.py unchanged)
@@ -213,12 +211,7 @@ class BertLayer(nn.Module):
             y = jax.nn.gelu(x @ w1.astype(x.dtype) + b1.astype(x.dtype))
             y = y @ w2.astype(x.dtype) + b2.astype(x.dtype)
         y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
-        xf = (x + y).astype(jnp.float32)
-        mu = xf.mean(-1, keepdims=True)
-        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-        out = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
-        out = out.astype(self.dtype) * ln_s.astype(self.dtype) + ln_b.astype(self.dtype)
-        return out
+        return ln_f32(x + y, ln_s, ln_b, self.dtype)
 
 
 class TextEncoder(nn.Module):

@@ -143,6 +143,33 @@ def test_image_only_mode_ignores_text(rng):
     )
 
 
+def test_unimodal_modes_skip_unused_tower(rng):
+    """image mode must not build (or pay for) the text tower and vice
+    versa; explain deltas for the absent modality fail loudly."""
+    img, ids, mask = _micro_inputs(rng)
+
+    m_img = MultiModalRetrievalModel(_micro_cfg("image"))
+    p_img = m_img.init(jax.random.PRNGKey(0), img, ids, mask)
+    assert "text" not in p_img["params"]["backbones"]
+    assert "txt_proj" not in p_img["params"]
+    with pytest.raises(ValueError):
+        m_img.apply(p_img, img, ids, mask,
+                    txt_delta=jnp.zeros((1, 1, 32)))
+
+    m_txt = MultiModalRetrievalModel(_micro_cfg("text"))
+    p_txt = m_txt.init(jax.random.PRNGKey(0), img, ids, mask)
+    assert "backbones" not in p_txt["params"] \
+        or "swin" not in p_txt["params"]["backbones"]
+    assert "img_proj" not in p_txt["params"]
+    out = m_txt.apply(p_txt, img, ids, mask)
+    out2 = m_txt.apply(p_txt, jnp.zeros_like(img), ids, mask)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(out2["logits"]), atol=1e-5)
+    with pytest.raises(ValueError):
+        m_txt.apply(p_txt, img, ids, mask,
+                    patch_delta=jnp.zeros((1, 1, 32)))
+
+
 def test_multimodal_gradients_flow(rng):
     model = MultiModalRetrievalModel(_micro_cfg())
     img, ids, mask = _micro_inputs(rng)
