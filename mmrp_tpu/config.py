@@ -46,6 +46,7 @@ class Config:
     batch_size: int = 32
     lr: float = 2e-5
     seed: int = 2709
+    data_workers: int = 4        # host decode threads + prefetch (dataLoader.py:14)
 
     # ---- model -----------------------------------------------------------
     num_fusion_layers: int = 5

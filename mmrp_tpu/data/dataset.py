@@ -81,11 +81,18 @@ def inverse_frequency_weights(labels: np.ndarray, clamp_max: float = 20.0) -> np
 
 
 def pos_weight_from_labels(labels: np.ndarray, clamp_max: float = 1.0) -> np.ndarray:
-    """BCE pos_weight = neg/pos per class, clamped (train.py:463-468)."""
+    """BCE pos_weight = neg/pos per class, clamped to [1, clamp_max]
+    (train.py:463-468; the min=1 clamp is train.py:466 — classes more
+    prevalent than 50% must not get their positives DOWN-weighted).
+
+    Classes with zero positives get 1.0 (reference yields clamp_max via
+    inf-then-clamp; the value is moot either way — BCE pos_weight only
+    scales positive-target terms, which such a class never has)."""
     labels = np.asarray(labels, dtype=np.float64)
     pos = labels.sum(axis=0)
     neg = labels.shape[0] - pos
     pw = np.where(pos > 0, neg / np.maximum(pos, 1), 1.0)
+    pw = np.maximum(pw, 1.0)
     return np.minimum(pw, clamp_max).astype(np.float32) if clamp_max else pw.astype(np.float32)
 
 
@@ -105,6 +112,7 @@ class BatchIterator:
         weights: Optional[np.ndarray] = None,
         seed: int = 0,
         drop_last: bool = False,
+        num_workers: int = 0,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -112,6 +120,7 @@ class BatchIterator:
         self.weights = weights
         self.seed = seed
         self.drop_last = drop_last
+        self.num_workers = num_workers
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -133,27 +142,42 @@ class BatchIterator:
         idx = self._epoch_indices()
         self._epoch += 1
         B = self.batch_size
-        for start in range(0, len(idx), B):
-            chunk = idx[start : start + B]
-            if len(chunk) < B:
-                if self.drop_last:
-                    return
-                pad = np.zeros(B - len(chunk), dtype=chunk.dtype)
-                valid = np.concatenate(
-                    [np.ones(len(chunk), np.float32), np.zeros(len(pad), np.float32)]
-                )
-                chunk = np.concatenate([chunk, pad])
-            else:
-                valid = np.ones(B, np.float32)
-            samples = [self.ds[int(i)] for i in chunk]
-            yield {
-                "image": np.stack([s["image"] for s in samples]),
-                "input_ids": np.stack([s["input_ids"] for s in samples]),
-                "attention_mask": np.stack([s["attention_mask"] for s in samples]),
-                "labels": np.stack([s["labels"] for s in samples]),
-                "valid": valid,
-                "ids": [s["id"] for s in samples],
-            }
+        # per-sample decode (DICOM parse + window + resize) is the IO/CPU
+        # hot path — fan it out over a thread pool when num_workers > 1
+        pool = None
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            for start in range(0, len(idx), B):
+                chunk = idx[start : start + B]
+                if len(chunk) < B:
+                    if self.drop_last:
+                        return
+                    pad = np.zeros(B - len(chunk), dtype=chunk.dtype)
+                    valid = np.concatenate(
+                        [np.ones(len(chunk), np.float32), np.zeros(len(pad), np.float32)]
+                    )
+                    chunk = np.concatenate([chunk, pad])
+                else:
+                    valid = np.ones(B, np.float32)
+                rows = [int(i) for i in chunk]
+                if pool is not None:
+                    samples = list(pool.map(self.ds.__getitem__, rows))
+                else:
+                    samples = [self.ds[i] for i in rows]
+                yield {
+                    "image": np.stack([s["image"] for s in samples]),
+                    "input_ids": np.stack([s["input_ids"] for s in samples]),
+                    "attention_mask": np.stack([s["attention_mask"] for s in samples]),
+                    "labels": np.stack([s["labels"] for s in samples]),
+                    "valid": valid,
+                    "ids": [s["id"] for s in samples],
+                }
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def build_dataloader(
@@ -167,15 +191,17 @@ def build_dataloader(
 ) -> "BatchIterator":
     """Factory mirroring reference build_dataloader (dataLoader.py:10-62).
 
-    ``num_workers > 0`` wraps the iterator in the threaded prefetcher from
-    mmrp_tpu.data.pipeline.
+    ``num_workers > 0`` decodes each batch's samples on a thread pool AND
+    wraps the iterator in the prefetch queue from mmrp_tpu.data.pipeline
+    (the torch analogue: worker processes + pinned-buffer prefetch).
     """
     weights = None
     if weighted:
         labels = np.stack([np.asarray(r["labels"], np.float32) for r in dataset.records])
         weights = inverse_frequency_weights(labels)
     it = BatchIterator(
-        dataset, batch_size, shuffle=shuffle, weights=weights, seed=seed, drop_last=drop_last
+        dataset, batch_size, shuffle=shuffle, weights=weights, seed=seed,
+        drop_last=drop_last, num_workers=num_workers,
     )
     if num_workers > 0:
         from mmrp_tpu.data.pipeline import PrefetchLoader

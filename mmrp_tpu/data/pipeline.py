@@ -34,10 +34,9 @@ class PrefetchLoader:
         return len(self.inner)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        # Producer threads pull *indices* of batches; to keep batch order
-        # deterministic we run a single producer that materializes batches
-        # into the queue while the consumer overlaps device work. The inner
-        # iterator's own __getitem__ calls fan out to a thread pool.
+        # A single producer keeps batch order deterministic while the
+        # consumer overlaps device work; per-sample decode parallelism
+        # lives inside BatchIterator (its own num_workers thread pool).
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
         err: List[BaseException] = []

@@ -29,8 +29,13 @@ class PseudoTripletDataset:
         self.labels = np.asarray(labels, bool)
         self.pos_threshold = pos_threshold
         self.rng = np.random.default_rng(seed)
-        inter = (self.labels[:, None, :] & self.labels[None, :, :]).sum(-1)
-        union = (self.labels[:, None, :] | self.labels[None, :, :]).sum(-1)
+        # Jaccard via one (N, C) @ (C, N) matmul — the broadcast form
+        # (labels[:, None] & labels[None]) materializes an (N, N, C) tensor,
+        # ~2 GB at OpenI scale (N~7.5k, C=43)
+        lf = self.labels.astype(np.float32)
+        inter = lf @ lf.T
+        counts = lf.sum(axis=1)
+        union = counts[:, None] + counts[None, :] - inter
         jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         np.fill_diagonal(jac, -1.0)
         self._pos = [np.where(row >= pos_threshold)[0] for row in jac]

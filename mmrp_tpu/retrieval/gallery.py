@@ -48,24 +48,35 @@ def topk_single(queries: jnp.ndarray, gallery: jnp.ndarray, k: int = 10):
     return jax.lax.top_k(scores, k)
 
 
-def make_sharded_topk(mesh: Mesh, axis: str, k: int):
+def make_sharded_topk(mesh: Mesh, axis: str, k: int, n_real: Optional[int] = None):
     """Build a jitted sharded top-K: gallery sharded by rows over ``axis``.
 
     Returns fn(queries (Q, D) replicated, gallery (N, D) sharded) ->
-    (scores (Q, k), global indices (Q, k)).
+    (scores (Q, k), global indices (Q, k)). ``n_real`` is the un-padded
+    gallery row count: padding rows are masked to -inf ON DEVICE — their
+    raw dot score is 0, which would otherwise beat real rows with
+    negative cosine similarity.
     """
     n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
 
     def local_topk(q, g_shard):
         # q: (Q, D) replicated; g_shard: (N/s, D) this device's rows
         scores = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
-        s, i = jax.lax.top_k(scores, k)  # (Q, k) local
         shard_id = jax.lax.axis_index(axis)
-        gi = i + shard_id * g_shard.shape[0]  # global row index
-        # gather candidates from every shard: (Q, s*k)
+        rows = g_shard.shape[0]
+        if n_real is not None:
+            grow = shard_id * rows + jnp.arange(rows)
+            scores = jnp.where(grow[None, :] < n_real, scores, -jnp.inf)
+        # a shard can hold fewer than k rows (tiny gallery on a wide mesh);
+        # lax.top_k requires k <= rows. The union still covers >= k real
+        # rows because shards*rows >= N >= k (callers clamp k to N).
+        k_loc = min(k, rows)
+        s, i = jax.lax.top_k(scores, k_loc)  # (Q, k_loc) local
+        gi = i + shard_id * rows  # global row index
+        # gather candidates from every shard: (Q, s*k_loc)
         all_s = jax.lax.all_gather(s, axis, axis=1).reshape(s.shape[0], -1)
         all_i = jax.lax.all_gather(gi, axis, axis=1).reshape(s.shape[0], -1)
-        top_s, pos = jax.lax.top_k(all_s, k)
+        top_s, pos = jax.lax.top_k(all_s, min(k, n_shards * k_loc))
         top_i = jnp.take_along_axis(all_i, pos, axis=1)
         return top_s, top_i
 
@@ -174,7 +185,7 @@ class RetrievalEngine:
         if self.mesh is not None:
             if kk not in self._sharded_topk_cache:
                 self._sharded_topk_cache[kk] = make_sharded_topk(
-                    self.mesh, self.shard_axis, kk
+                    self.mesh, self.shard_axis, kk, n_real=self._n_real
                 )
             q = jax.device_put(q, NamedSharding(self.mesh, P()))
             return self._sharded_topk_cache[kk](q, g)

@@ -92,8 +92,9 @@ def _run_swin_finetune_stage(cfg: Config, out: Path, split_recs, mm_cfg, tok,
     val_ds = ChestXRDataset(split_recs["val"], tok, max_length=8,
                             image_size=cfg.image_size)
     train_loader = build_dataloader(train_ds, cfg.batch_size, weighted=True,
-                                    seed=cfg.seed)
-    val_loader = build_dataloader(val_ds, cfg.batch_size, shuffle=False)
+                                    seed=cfg.seed, num_workers=cfg.data_workers)
+    val_loader = build_dataloader(val_ds, cfg.batch_size, shuffle=False,
+                                  num_workers=cfg.data_workers)
 
     labels = np.stack([np.asarray(r["labels"], np.float32) for r in sub])
     pw = pos_weight_from_labels(labels, clamp_max=5.0)
@@ -353,8 +354,9 @@ def run_training_pipeline(
     val_ds = KGDataset(split_recs["val"], tok, max_length=cfg.text_dim,
                        image_size=cfg.image_size)
     train_loader = build_dataloader(train_ds, cfg.batch_size, weighted=True,
-                                    seed=cfg.seed)
-    val_loader = build_dataloader(val_ds, cfg.batch_size, shuffle=False)
+                                    seed=cfg.seed, num_workers=cfg.data_workers)
+    val_loader = build_dataloader(val_ds, cfg.batch_size, shuffle=False,
+                                  num_workers=cfg.data_workers)
 
     result = run_joint_training(
         cfg, model, train_loader, val_loader, str(out / "joint"),
@@ -365,11 +367,13 @@ def run_training_pipeline(
     # ---- stage 4: embedding dumps + GT + retrieval eval ----------------------
     test_ds = KGDataset(split_recs["test"], tok, max_length=cfg.text_dim,
                         image_size=cfg.image_size)
-    test_loader = build_dataloader(test_ds, cfg.batch_size, shuffle=False)
+    test_loader = build_dataloader(test_ds, cfg.batch_size, shuffle=False,
+                                   num_workers=cfg.data_workers)
     dump_embeddings(model, result.state.params, test_loader, str(out / "test"))
     # NOT train_loader: the weighted sampler draws with replacement, which
     # would put duplicate rows in (and drop rows from) the gallery dump
-    train_dump_loader = build_dataloader(train_ds, cfg.batch_size, shuffle=False)
+    train_dump_loader = build_dataloader(train_ds, cfg.batch_size, shuffle=False,
+                                         num_workers=cfg.data_workers)
     dump_embeddings(model, result.state.params, train_dump_loader, str(out / "train"))
 
     test_emb = np.load(out / "test_embeddings.npy")

@@ -71,6 +71,22 @@ def test_engine_sharded_unpadded_gallery(rng):
     assert (i < 101).all()
 
 
+def test_engine_sharded_tiny_gallery(rng):
+    # fewer rows per shard than k (12 rows over 8 shards, k=10): the local
+    # top_k must clamp to the shard size instead of erroring
+    g = _gallery(rng, N=12)
+    ids = [f"id{i}" for i in range(12)]
+    mesh = build_mesh(("dp",), (8,))
+    eng_m = RetrievalEngine(g, ids, mesh=mesh)
+    eng_s = RetrievalEngine(g, ids)
+    q = rng.standard_normal((2, 32)).astype(np.float32)
+    s1, i1 = eng_s.retrieve_batch(q, k=10)
+    s2, i2 = eng_m.retrieve_batch(q, k=10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+    assert (i2 < 12).all()
+
+
 def test_get_embeddings_for_ids_zero_fill(rng):
     g = _gallery(rng, N=10)
     ids = [f"id{i}" for i in range(10)]

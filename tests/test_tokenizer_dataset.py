@@ -122,9 +122,36 @@ def test_pos_weight_clamp():
     assert pw2[0] == 19.0  # 95/5
 
 
+def test_pos_weight_min_clamp():
+    """neg/pos < 1 (majority class) must clamp UP to 1.0 (train.py:466)."""
+    labels = np.zeros((100, 3), np.float32)
+    labels[:80, 0] = 1   # 80% prevalent: raw 20/80 = 0.25 -> 1.0
+    labels[:10, 1] = 1   # rare: 90/10 = 9
+    # column 2: zero positives -> 1.0 (value moot, positives never fire)
+    pw = pos_weight_from_labels(labels, clamp_max=30.0)
+    assert pw[0] == 1.0
+    assert pw[1] == 9.0
+    assert pw[2] == 1.0
+
+
 def test_build_dataloader_prefetch(rng):
     ds = ChestXRDataset(_records(rng, 8), _tok(), max_length=16, image_size=32)
     dl = build_dataloader(ds, batch_size=4, num_workers=2, seed=1)
     batches = list(dl)
     assert len(batches) == 2
     assert batches[0]["image"].shape == (4, 32, 32, 3)
+
+
+def test_dataloader_workers_match_serial(rng):
+    """The thread-pool decode path must yield byte-identical batches in
+    the same order as the serial path."""
+    recs = _records(rng, 10)
+    ds = ChestXRDataset(recs, _tok(), max_length=16, image_size=32)
+    serial = list(build_dataloader(ds, batch_size=4, seed=3))
+    pooled = list(build_dataloader(ds, batch_size=4, num_workers=4, seed=3))
+    assert len(serial) == len(pooled) == 3
+    for a, b in zip(serial, pooled):
+        assert a["ids"] == b["ids"]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+        np.testing.assert_array_equal(a["valid"], b["valid"])
