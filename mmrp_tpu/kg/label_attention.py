@@ -72,10 +72,14 @@ def _pad_label_embs(
 
 
 def jaccard_matrix(labels: np.ndarray) -> np.ndarray:
-    """(N, C) binary -> (N, N) pairwise Jaccard."""
-    L = labels.astype(bool)
-    inter = (L[:, None, :] & L[None, :, :]).sum(-1)
-    union = (L[:, None, :] | L[None, :, :]).sum(-1)
+    """(N, C) binary -> (N, N) pairwise Jaccard.
+
+    One (N, C) @ (C, N) matmul — the broadcast form would materialize an
+    (N, N, C) tensor, gigabytes at train-split scale (N~6k, C=43)."""
+    lf = labels.astype(bool).astype(np.float32)
+    inter = lf @ lf.T
+    counts = lf.sum(axis=1)
+    union = counts[:, None] + counts[None, :] - inter
     return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
 

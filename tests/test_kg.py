@@ -303,6 +303,17 @@ def test_jaccard_matrix():
     assert J[2, 2] == 0.0  # empty sets -> 0 by convention
 
 
+def test_jaccard_matrix_matches_definition():
+    """The matmul form must equal the direct set definition exactly."""
+    rng = np.random.default_rng(0)
+    L = (rng.random((17, 9)) < 0.3)
+    J = jaccard_matrix(L)
+    inter = (L[:, None, :] & L[None, :, :]).sum(-1)
+    union = (L[:, None, :] | L[None, :, :]).sum(-1)
+    want = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    np.testing.assert_allclose(J, want, atol=0)
+
+
 # ---------------- ontology mapper ----------------
 
 
