@@ -34,11 +34,12 @@ def label_diversity(labels: np.ndarray) -> float:
     """Mean pairwise (1 - Jaccard) over retrieved items' label sets."""
     if labels.shape[0] < 2:
         return 0.0
-    L = labels.astype(bool)
-    inter = (L[:, None, :] & L[None, :, :]).sum(-1)
-    union = (L[:, None, :] | L[None, :, :]).sum(-1)
+    lf = labels.astype(bool).astype(np.float32)
+    inter = lf @ lf.T
+    counts = lf.sum(axis=1)
+    union = counts[:, None] + counts[None, :] - inter
     jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-    iu = np.triu_indices(len(L), k=1)
+    iu = np.triu_indices(len(lf), k=1)
     return float(1.0 - jac[iu].mean())
 
 
