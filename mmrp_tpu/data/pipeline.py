@@ -33,6 +33,22 @@ class PrefetchLoader:
     def __len__(self) -> int:
         return len(self.inner)
 
+    # Delegate the BatchIterator surface consumers rely on: ``.ds`` (label
+    # stats in run_joint_training) and ``._epoch`` (resume reseeds the data
+    # order). The _epoch setter must reach the INNER iterator — setting a
+    # plain attribute on the wrapper would silently break resume determinism.
+    @property
+    def ds(self):
+        return self.inner.ds
+
+    @property
+    def _epoch(self) -> int:
+        return self.inner._epoch
+
+    @_epoch.setter
+    def _epoch(self, value: int) -> None:
+        self.inner._epoch = value
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         # A single producer keeps batch order deterministic while the
         # consumer overlaps device work; per-sample decode parallelism

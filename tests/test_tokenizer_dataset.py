@@ -155,3 +155,19 @@ def test_dataloader_workers_match_serial(rng):
         np.testing.assert_array_equal(a["image"], b["image"])
         np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
         np.testing.assert_array_equal(a["valid"], b["valid"])
+
+
+def test_prefetch_loader_delegates_ds_and_epoch(rng):
+    """run_joint_training reads loader.ds.records and sets loader._epoch on
+    resume; the prefetch wrapper must delegate both to the inner iterator
+    (regression: AttributeError with num_workers > 0)."""
+    ds = ChestXRDataset(_records(rng, 8), _tok(), max_length=16, image_size=32)
+    dl = build_dataloader(ds, batch_size=4, num_workers=2, seed=1)
+    assert dl.ds is ds
+    dl._epoch = 3
+    assert dl.inner._epoch == 3
+    # epoch reseed goes through the wrapper: same as inner at _epoch=3
+    inner = build_dataloader(ds, batch_size=4, seed=1)
+    inner._epoch = 3
+    for a, b in zip(dl, inner):
+        assert a["ids"] == b["ids"]
