@@ -223,7 +223,8 @@ def main() -> None:
                       ("BENCH_FLAGSHIP.json", "flagship_embed"),
                       ("BENCH_EXPLAIN.json", "explain"),
                       ("BENCH_STREAM.json", "stream"),
-                      ("BENCH_KG.json", "kg_train")):
+                      ("BENCH_KG.json", "kg_train"),
+                      ("BENCH_LOADER.json", "input_pipeline")):
         p = os.path.join(here, side)
         if os.path.exists(p):
             try:
