@@ -109,6 +109,8 @@ def _parse_elements(buf: bytes, explicit: bool, wanted=_WANTED) -> Dict[str, obj
         if explicit:
             vr = buf[pos : pos + 2]
             if vr in _LONG_VRS:
+                if pos + 8 > end:
+                    raise DicomParseError("truncated element header")
                 (length,) = struct.unpack_from("<I", buf, pos + 4)
                 pos += 8
             else:
@@ -190,6 +192,8 @@ def read_dicom(src: Union[str, Path, bytes, bytearray, BinaryIO]) -> DicomImage:
                 break
             vr = data[pos + 4 : pos + 6]
             if vr in _LONG_VRS:
+                if pos + 12 > len(data):
+                    raise DicomParseError("truncated file-meta element")
                 (length,) = struct.unpack_from("<I", data, pos + 8)
                 vstart = pos + 12
             else:

@@ -27,6 +27,7 @@ from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
+from mmrp_tpu.data.dicom import DicomParseError
 from mmrp_tpu.models.explain import compare_maps
 
 
@@ -353,10 +354,17 @@ def make_handler(ctx: DemoContext):
                             400, f"bad request: {html.escape(repr(e))}".encode()
                         )
                         return
-                    payload = run_inference(
-                        ctx, dicom, req.get("text", ""), threshold,
-                        detail=detail, render_images=False,
-                    )
+                    try:
+                        payload = run_inference(
+                            ctx, dicom, req.get("text", ""), threshold,
+                            detail=detail, render_images=False,
+                        )
+                    except DicomParseError as e:
+                        # malformed upload is a client fault, not a 500
+                        self._send(
+                            400, f"bad dicom: {html.escape(repr(e))}".encode()
+                        )
+                        return
                     self._send(200, json.dumps(payload, default=float).encode(),
                                "application/json")
                     return
@@ -370,13 +378,17 @@ def make_handler(ctx: DemoContext):
                 except (ValueError, KeyError) as e:
                     self._send(400, f"bad upload: {html.escape(repr(e))}".encode())
                     return
-                payload = run_inference(
-                    ctx,
-                    fields["dicom_file"],
-                    fields.get("text_query", b"").decode("utf-8", "ignore"),
-                    threshold,
-                    detail=b"show_retrieval_detail" in fields,
-                )
+                try:
+                    payload = run_inference(
+                        ctx,
+                        fields["dicom_file"],
+                        fields.get("text_query", b"").decode("utf-8", "ignore"),
+                        threshold,
+                        detail=b"show_retrieval_detail" in fields,
+                    )
+                except DicomParseError as e:
+                    self._send(400, f"bad dicom: {html.escape(repr(e))}".encode())
+                    return
                 html_page = _FORM.format(results=render_results(payload))
                 self._send(200, html_page.encode())
             except Exception as e:  # noqa: BLE001 — demo surface

@@ -145,12 +145,14 @@ bool parse_dicom(const uint8_t* buf, size_t n, DicomInfo* info) {
       uint32_t length;
       size_t vstart;
       if (is_long_vr(vr)) {
+        if (pos + 12 > n) return false;
         length = rd32(buf + pos + 8);
         vstart = pos + 12;
       } else {
         length = rd16(buf + pos + 6);
         vstart = pos + 8;
       }
+      if (vstart > n || length > n - vstart) return false;
       if (elem == 0x0010 && length < 63) {
         memcpy(ts, buf + vstart, length);
         ts[length] = 0;
@@ -168,8 +170,11 @@ bool parse_dicom(const uint8_t* buf, size_t n, DicomInfo* info) {
     pos = 0;
     explicit_vr = false;
   }
+  if (pos > n) return false;
   return parse_elements(buf + pos, n - pos, explicit_vr, info) &&
-         info->rows > 0 && info->cols > 0 && info->pixels != nullptr;
+         info->rows > 0 && info->cols > 0 && info->pixels != nullptr &&
+         (info->bits == 8 || info->bits == 16) &&
+         info->pixel_len >= (size_t)info->rows * info->cols * (info->bits / 8);
 }
 
 // window + normalize to [0,1], honoring MONOCHROME1 inversion

@@ -6,6 +6,7 @@ reference's data_run.py + train.py + retrieval_eval.py + web app end to end.
 
 import base64
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -165,6 +166,24 @@ def test_data_cli_and_training_pipeline(fixture_dirs, tmp_path_factory):
         assert "iou@20%" in d0["cross_map"]
         if len(detail) >= 2:
             assert "retrieval_diversity" in payload
+
+        # corrupted DICOM upload -> clean 400 (DicomParseError is a
+        # ValueError; the decode path must never 500 or crash the server)
+        bad = bytearray(blob)
+        bad[130:140] = b"\xff" * 10
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/predict",
+            data=json.dumps({
+                "dicom_b64": base64.b64encode(bytes(bad)).decode(),
+                "text": "x",
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("corrupted DICOM was accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, e.code
     finally:
         server.shutdown()
 
