@@ -11,6 +11,7 @@ exposes them as subcommands with explicit flags:
     eval-ret    dual-gallery retrieval eval (retrieval_eval.py)
     kg-probe    KG embedding health checks (kg_check/diagnose/probe)
     serve       web demo (web/app.py)
+    export-serving  package a run into a serialized serving artifact
     bench       run the benchmark
 """
 
@@ -180,6 +181,19 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_export_serving(args) -> int:
+    from mmrp_tpu.serve.exported import export_run
+
+    meta = export_run(
+        args.run_dir, args.out_path,
+        batch_sizes=tuple(int(b) for b in args.batches.split(",")),
+        platforms=tuple(args.platforms.split(",")),
+        data_dir=args.data,
+    )
+    print(json.dumps({"artifact": args.out_path, **meta}, indent=1))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -258,6 +272,20 @@ def main(argv=None) -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=None)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser(
+        "export-serving",
+        help="package a trained run into a serialized serving artifact "
+             "(jax.export; no model code needed at load time)",
+    )
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--out-path", required=True, help="artifact .npz path")
+    p.add_argument("--data", default=None, help="data pipeline output dir")
+    p.add_argument("--batches", default="1,8,32", help="batch buckets")
+    p.add_argument("--platforms", default="cpu",
+                   help="comma list; tpu programs must be lowered with "
+                        "Pallas enabled on a TPU-visible process")
+    p.set_defaults(fn=cmd_export_serving)
 
     p = sub.add_parser("bench", help="benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -187,6 +187,25 @@ def test_data_cli_and_training_pipeline(fixture_dirs, tmp_path_factory):
     finally:
         server.shutdown()
 
+    # ---- serialized serving artifact (serve/exported.py) ------------------
+    art = out / "serving_artifact.npz"
+    rc = cli_main([
+        "export-serving", "--run-dir", str(out / "train"), "--data", str(out),
+        "--out-path", str(art), "--batches", "1,2", "--platforms", "cpu",
+    ])
+    assert rc == 0 and art.exists()
+    from mmrp_tpu.serve.exported import ExportedPredictor
+
+    ep = ExportedPredictor.load(art, platform="cpu")
+    assert ep.meta["label_names"] == list(LABEL_COLS)
+    pre = ctx["preprocessor"]
+    img3 = np.asarray(pre.load(blob)).transpose(1, 2, 0)[None].astype(np.float32)
+    t_ids, t_mask = ctx["tokenizer"].encode(
+        "cardiomegaly", max_length=ctx["max_length"])
+    got = ep.call(img3, t_ids[None], t_mask[None])
+    live = ctx["predictor"].embed(img3, t_ids[None], t_mask[None])
+    np.testing.assert_allclose(got["probs"], live["probs"], rtol=2e-4, atol=2e-5)
+
     # ---- streaming batch pipeline over the test split (BASELINE #5) -------
     rc = cli_main([
         "stream", "--run-dir", str(out / "train"), "--data", str(out),
