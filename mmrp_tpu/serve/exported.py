@@ -16,8 +16,11 @@ Design points:
 - **Per-platform programs**: a program lowered with TPU Pallas kernels
   embeds tpu custom-calls a CPU backend cannot run, so each requested
   platform gets its own lowering (``use_pallas`` off for cpu). A CPU-only
-  build host can package a ``cpu`` artifact; packaging ``tpu`` programs
-  requires lowering on a TPU-visible process.
+  build host can package ``tpu`` programs too — cross-lowering works —
+  but the Pallas kernel gate keys on the RUNTIME backend
+  (models/swin.py::_pallas_backend), so such programs carry the portable
+  XLA formulation; packaging the fused Pallas serving stack requires
+  lowering in a TPU-visible process.
 - The forward matches ``MMRPredictor``'s serving outputs
   (probs / joint_emb / img_emb / txt_emb), so a loaded artifact is a
   drop-in embed+predict engine for the gallery/rerank stack.
@@ -84,17 +87,42 @@ def export_serving_programs(
     text_len: int,
     batch_sizes: Sequence[int] = (1, 8, 32),
     platforms: Sequence[str] = ("cpu",),
+    mesh=None,
 ) -> Dict[str, bytes]:
     """Lower + serialize the serving forward per (platform, batch bucket).
 
     The caller supplies a model built for the TARGET platform (Pallas
     kernels on for tpu, off for cpu) — pass one platform per call when the
     model config differs. Returns ``{"{platform}{_SEP}{batch}": bytes}``.
+
+    With ``mesh`` (a 1-axis ``jax.sharding.Mesh``), programs are exported
+    data-parallel over that axis: params replicated, batch dim sharded —
+    a multi-chip serving pod runs the artifact directly (load with the
+    same-size mesh). Batch buckets must be divisible by the mesh size.
     """
     import jax
     from jax import export as jexport
 
     fn = _serving_fn(model)
+    jit_kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        (axis,) = mesh.axis_names
+        repl = NamedSharding(mesh, P())
+        row = NamedSharding(mesh, P(axis))
+        jit_kwargs = dict(
+            in_shardings=(
+                jax.tree_util.tree_map(lambda _: repl, params),
+                row, row, row,
+            ),
+            out_shardings=(row, row, row, row),
+        )
+        bad = [b for b in batch_sizes if b % mesh.size]
+        if bad:
+            raise ValueError(
+                f"batch buckets {bad} not divisible by mesh size {mesh.size}"
+            )
     p_specs = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params
     )
@@ -103,7 +131,7 @@ def export_serving_programs(
         img = jax.ShapeDtypeStruct((b, image_size, image_size, 3), np.float32)
         ids = jax.ShapeDtypeStruct((b, text_len), np.int32)
         mask = jax.ShapeDtypeStruct((b, text_len), np.int32)
-        exp = jexport.export(jax.jit(fn), platforms=list(platforms))(
+        exp = jexport.export(jax.jit(fn, **jit_kwargs), platforms=list(platforms))(
             p_specs, img, ids, mask
         )
         blob = exp.serialize()
@@ -142,14 +170,32 @@ class ExportedPredictor:
     outputs back to the true row count.
     """
 
-    def __init__(self, programs, params, meta):
+    def __init__(self, programs, params, meta, mesh=None):
         self._programs = programs  # {batch: deserialized Exported}
         self._params = params
         self.meta = meta
         self.batch_sizes = sorted(programs)
+        self._mesh = mesh
+        nr = {p.nr_devices for p in programs.values()}
+        if nr - {1} and mesh is None:
+            raise ValueError(
+                f"artifact programs span {sorted(nr)} devices — pass a "
+                "same-size mesh to load()"
+            )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            (axis,) = mesh.axis_names
+            self._row = NamedSharding(mesh, P(axis))
+            import jax
+
+            self._params = jax.device_put(
+                self._params, NamedSharding(mesh, P())
+            )
 
     @classmethod
-    def load(cls, path, platform: Optional[str] = None) -> "ExportedPredictor":
+    def load(cls, path, platform: Optional[str] = None,
+             mesh=None) -> "ExportedPredictor":
         import jax
         from jax import export as jexport
 
@@ -176,7 +222,7 @@ class ExportedPredictor:
         params = jax.tree_util.tree_map(
             jax.numpy.asarray, _unflatten_params(flat)
         )
-        return cls(programs, params, meta)
+        return cls(programs, params, meta, mesh=mesh)
 
     def _run_bucket(self, b: int, image, ids, mask) -> Tuple[np.ndarray, ...]:
         n = image.shape[0]
@@ -188,6 +234,12 @@ class ExportedPredictor:
                                                 ids.dtype)])
             mask = np.concatenate([mask, np.ones((pad,) + mask.shape[1:],
                                                  mask.dtype)])
+        if self._mesh is not None:
+            import jax
+
+            image, ids, mask = (
+                jax.device_put(x, self._row) for x in (image, ids, mask)
+            )
         outs = self._programs[b].call(self._params, image, ids, mask)
         return tuple(np.asarray(o)[:n] for o in outs)
 

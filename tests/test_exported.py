@@ -78,6 +78,43 @@ def test_export_roundtrip_matches_live_model(micro, tmp_path):
         assert got["joint_emb"].shape[0] == n
 
 
+def test_sharded_export_matches_single_device(micro, tmp_path):
+    """Data-parallel export over the 8-device mesh: artifact outputs must
+    equal the single-device program's (multi-chip serving pod contract)."""
+    from jax.sharding import Mesh
+
+    model, params, cfg = micro
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("dp",))
+    assert mesh.size == 8
+    programs = export_serving_programs(
+        model, params, image_size=IMG, text_len=LT,
+        batch_sizes=(8,), platforms=("cpu",), mesh=mesh,
+    )
+    path = tmp_path / "sharded.npz"
+    save_artifact(path, programs, params, {"sharded": True})
+
+    # single-device load must refuse
+    with pytest.raises(ValueError, match="devices"):
+        ExportedPredictor.load(path, platform="cpu")
+
+    pred = ExportedPredictor.load(path, platform="cpu", mesh=mesh)
+    img, ids, mask = _inputs(5, cfg, seed=5)  # padded to the 8-bucket
+    got = pred.call(img, ids, mask)
+    ref = model.apply({"params": params}, jnp.asarray(img), jnp.asarray(ids),
+                      jnp.asarray(mask), deterministic=True)
+    np.testing.assert_allclose(
+        got["probs"], np.asarray(jax.nn.sigmoid(ref["logits"])),
+        rtol=2e-4, atol=2e-5,
+    )
+
+    # non-divisible bucket is rejected at export time
+    with pytest.raises(ValueError, match="divisible"):
+        export_serving_programs(
+            model, params, image_size=IMG, text_len=LT,
+            batch_sizes=(4,), platforms=("cpu",), mesh=mesh,
+        )
+
+
 def test_missing_platform_errors(micro, tmp_path):
     model, params, cfg = micro
     programs = export_serving_programs(
