@@ -129,6 +129,34 @@ def test_evaluate_classification_writes(tmp_path, rng):
     assert rep["macro_f1"] > 0.5
     assert (tmp_path / "test_per_class.csv").exists()
     assert (tmp_path / "test_summary.json").exists()
+    # confusion + calibration (reference README advertises these reports
+    # but ships no code): counts must tile N per class, ECE in [0, 1],
+    # and the plots land when matplotlib is importable
+    for row in rep["per_class"]:
+        assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == 50
+    cal = rep["calibration"]
+    assert 0.0 <= cal["ece"] <= 1.0
+    assert sum(cal["bin_count"]) == 50 * 4
+    if rep.get("plots"):
+        import os
+
+        assert os.path.exists(rep["plots"]["reliability"])
+        assert os.path.exists(rep["plots"]["confusion"])
+
+
+def test_calibration_report_perfect_and_bad():
+    from mmrp_tpu.eval.classification import calibration_report
+
+    # perfectly calibrated: prob == empirical frequency in every bin
+    y = np.array([[0], [1]] * 50)
+    p = np.full((100, 1), 0.5)
+    cal = calibration_report(y, p)
+    assert cal["ece"] < 1e-9
+    # maximally miscalibrated: confident and always wrong
+    y = np.ones((100, 1))
+    p = np.full((100, 1), 0.05)
+    cal = calibration_report(y, p)
+    assert cal["ece"] > 0.9
 
 
 def test_diversity_metrics(rng):
