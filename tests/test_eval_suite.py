@@ -32,6 +32,35 @@ def test_build_label_overlap_gt():
     assert gt2["q1"] == []
 
 
+def test_ontology_aware_gt():
+    """README-advertised 'ontology-aware relationships' relevance (the
+    reference ships no code for it): labels mapped to the same or related
+    ontology terms count as shared; identity adjacency == plain overlap."""
+    from mmrp_tpu.eval.gt import ontology_label_adjacency
+
+    names = ["cardiac", "cardiomegaly", "effusion"]
+    A = ontology_label_adjacency(
+        names,
+        {"cardiac": ["DOID:114"], "cardiomegaly": ["DOID:2843"],
+         "effusion": ["RID:1"]},
+        related_pairs=[("DOID:114", "DOID:2843")],
+    )
+    assert A[0, 1] and A[1, 0]          # related through is_a pair
+    assert not A[0, 2] and not A[1, 2]  # unrelated
+    assert A.diagonal().all()
+
+    qids, gids = ["q"], ["x", "y"]
+    ql = np.array([[1, 0, 0]])
+    gl = np.array([[0, 1, 0], [0, 0, 1]])
+    plain = build_label_overlap_gt(qids, ql, gids, gl)
+    assert plain["q"] == []
+    onto = build_label_overlap_gt(qids, ql, gids, gl, label_adjacency=A)
+    assert onto["q"] == ["x"]  # cardiomegaly-only gallery item now relevant
+    ident = build_label_overlap_gt(qids, ql, gids, gl,
+                                   label_adjacency=np.eye(3, dtype=bool))
+    assert ident["q"] == plain["q"]
+
+
 def test_evaluate_gallery_perfect_retrieval(rng):
     # gallery where each query's own cluster is most similar
     base = rng.standard_normal((5, 16)).astype(np.float32)
