@@ -167,6 +167,33 @@ def test_data_cli_and_training_pipeline(fixture_dirs, tmp_path_factory):
         if len(detail) >= 2:
             assert "retrieval_diversity" in payload
 
+        # concurrent identical requests through the ThreadingHTTPServer:
+        # all must 200 and agree (jitted calls are invoked from multiple
+        # handler threads; results must not interleave or corrupt)
+        import concurrent.futures
+
+        def post_once(_):
+            r = urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/api/predict",
+                    data=json.dumps({
+                        "dicom_b64": base64.b64encode(blob).decode(),
+                        "text": "cardiomegaly with effusion",
+                    }).encode(),
+                    headers={"Content-Type": "application/json"},
+                ), timeout=300)
+            return json.loads(r.read())
+
+        with concurrent.futures.ThreadPoolExecutor(3) as pool_:
+            results = list(pool_.map(post_once, range(3)))
+        top0 = results[0]["top_labels"]
+        for r in results[1:]:
+            assert [t[0] for t in r["top_labels"]] == [t[0] for t in top0]
+            np.testing.assert_allclose(
+                [t[1] for t in r["top_labels"]], [t[1] for t in top0],
+                rtol=1e-5, atol=1e-6,
+            )
+
         # corrupted DICOM upload -> clean 400 (DicomParseError is a
         # ValueError; the decode path must never 500 or crash the server)
         bad = bytearray(blob)
