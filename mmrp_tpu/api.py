@@ -22,6 +22,30 @@ from mmrp_tpu.retrieval.gallery import RetrievalEngine
 from mmrp_tpu.retrieval.rerank import Reranker
 
 
+def serving_forward(model: MultiModalRetrievalModel):
+    """The serving forward contract: params (raw tree or {"model": tree})
+    + (image, ids, mask) -> {probs, joint_emb, img_emb, txt_emb}.
+
+    Single definition shared by the live predictor below and the
+    serialized-artifact exporter (serve/exported.py) so artifacts cannot
+    silently diverge from live serving outputs.
+    """
+
+    def fwd(params, image, ids, mask):
+        out = model.apply(
+            {"params": params["model"]} if "model" in params else {"params": params},
+            image, ids, mask, deterministic=True,
+        )
+        return {
+            "probs": jax.nn.sigmoid(out["logits"]),
+            "joint_emb": out["joint_emb"],
+            "img_emb": out["img_emb"],
+            "txt_emb": out["txt_emb"],
+        }
+
+    return fwd
+
+
 class MMRPredictor:
     def __init__(
         self,
@@ -41,19 +65,7 @@ class MMRPredictor:
         self.reranker = reranker
         self.threshold = threshold
 
-        def fwd(params, image, ids, mask):
-            out = model.apply(
-                {"params": params["model"]} if "model" in params else {"params": params},
-                image, ids, mask, deterministic=True,
-            )
-            return {
-                "probs": jax.nn.sigmoid(out["logits"]),
-                "joint_emb": out["joint_emb"],
-                "img_emb": out["img_emb"],
-                "txt_emb": out["txt_emb"],
-            }
-
-        self._fwd = jax.jit(fwd)
+        self._fwd = jax.jit(serving_forward(model))
         self._explainer: Optional[ExplanationEngine] = None
 
     # -- embed ----------------------------------------------------------------

@@ -25,24 +25,6 @@ from mmrp_tpu.eval.metrics import find_best_thresholds, per_class_report
 from mmrp_tpu.utils.logging import TeeLogger
 
 
-def confusion_counts(
-    y_true: np.ndarray, y_prob: np.ndarray, thresholds: np.ndarray
-) -> list:
-    """Per-class confusion at the given thresholds -> [{tp,fp,fn,tn}]."""
-    preds = (y_prob >= np.asarray(thresholds)[None, :]).astype(int)
-    yt = y_true.astype(int)
-    rows = []
-    for c in range(yt.shape[1]):
-        t, p = yt[:, c], preds[:, c]
-        rows.append({
-            "tp": int(((t == 1) & (p == 1)).sum()),
-            "fp": int(((t == 0) & (p == 1)).sum()),
-            "fn": int(((t == 1) & (p == 0)).sum()),
-            "tn": int(((t == 0) & (p == 0)).sum()),
-        })
-    return rows
-
-
 def calibration_report(
     y_true: np.ndarray, y_prob: np.ndarray, bins: int = 10
 ) -> Dict:
@@ -133,9 +115,6 @@ def evaluate_classification(
     if thresholds is None:
         thresholds = find_best_thresholds(labels, probs)
     report = per_class_report(labels, probs, np.asarray(thresholds), class_names)
-    for row, cm in zip(report["per_class"],
-                       confusion_counts(labels, probs, thresholds)):
-        row.update(cm)
     cal = calibration_report(labels, probs)
     report["calibration"] = cal
 

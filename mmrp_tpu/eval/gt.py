@@ -68,10 +68,15 @@ def build_label_overlap_gt(
     Q = np.asarray(query_labels, bool)
     G = np.asarray(gallery_labels, bool)
     if label_adjacency is not None:
-        # ontology-aware: query label c also matches gallery labels
-        # adjacent to c. (Q @ A) counts, per gallery label, how many query
-        # labels are related to it; AND with the gallery's own positives.
-        Gx = (G.astype(np.int32) @ np.asarray(label_adjacency, np.int32).T)
+        # ontology-aware: query label c counts as shared when the gallery
+        # item has any label related to c. Relatedness is undirected, so
+        # the matrix is symmetrized first (a caller passing raw directed
+        # edges, e.g. child->parent is_a, still gets both directions).
+        # (G @ A)[j, c] = #gallery-j labels related to c; >0 means gallery
+        # j covers label c; Q @ cover.T counts covered query labels.
+        A = np.asarray(label_adjacency, bool)
+        A = (A | A.T).astype(np.int32)
+        Gx = G.astype(np.int32) @ A.T
         shared = Q.astype(np.int32) @ (Gx > 0).astype(np.int32).T
     else:
         shared = Q.astype(np.int32) @ G.astype(np.int32).T  # (Q, G) shared positives

@@ -218,6 +218,9 @@ def per_class_report(
         yt, yp = y_true[:, c], y_prob[:, c]
         pred = (yp >= thresholds[c]).astype(int)
         p, r, f1 = prf1(yt, pred)
+        tp = int(((yt == 1) & (pred == 1)).sum())
+        fp = int(((yt == 0) & (pred == 1)).sum())
+        fn = int(((yt == 1) & (pred == 0)).sum())
         rows.append(
             {
                 "class": class_names[c],
@@ -228,6 +231,12 @@ def per_class_report(
                 "f1": f1,
                 "threshold": float(thresholds[c]),
                 "support": int(yt.sum()),
+                # confusion at this threshold (reference README's
+                # advertised confusion report; one thresholding pass)
+                "tp": tp,
+                "fp": fp,
+                "fn": fn,
+                "tn": int(len(yt) - tp - fp - fn),
             }
         )
     aurocs = np.array([r["auroc"] for r in rows], dtype=np.float64)

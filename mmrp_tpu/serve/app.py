@@ -27,7 +27,6 @@ from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
-from mmrp_tpu.data.dicom import DicomParseError
 from mmrp_tpu.models.explain import compare_maps
 
 
@@ -359,8 +358,12 @@ def make_handler(ctx: DemoContext):
                             ctx, dicom, req.get("text", ""), threshold,
                             detail=detail, render_images=False,
                         )
-                    except DicomParseError as e:
-                        # malformed upload is a client fault, not a 500
+                    except ValueError as e:
+                        # malformed upload is a client fault, not a 500.
+                        # The decode path's clean-failure contract is
+                        # ValueError (DicomParseError subclasses it, but
+                        # np.frombuffer/int() on corrupt fields raise the
+                        # plain class — tests/test_dicom_fuzz.py).
                         self._send(
                             400, f"bad dicom: {html.escape(repr(e))}".encode()
                         )
@@ -386,7 +389,7 @@ def make_handler(ctx: DemoContext):
                         threshold,
                         detail=b"show_retrieval_detail" in fields,
                     )
-                except DicomParseError as e:
+                except ValueError as e:  # decode clean-failure contract
                     self._send(400, f"bad dicom: {html.escape(repr(e))}".encode())
                     return
                 html_page = _FORM.format(results=render_results(payload))

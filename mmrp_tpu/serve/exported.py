@@ -62,21 +62,11 @@ def _unflatten_params(flat: Dict[str, np.ndarray]):
 
 
 def _serving_fn(model):
-    import jax
+    # ONE shared definition with the live predictor — artifacts cannot
+    # diverge from live serving outputs (api.py::serving_forward).
+    from mmrp_tpu.api import serving_forward
 
-    def fwd(params, image, ids, mask):
-        out = model.apply(
-            {"params": params["model"]} if "model" in params else {"params": params},
-            image, ids, mask, deterministic=True,
-        )
-        return (
-            jax.nn.sigmoid(out["logits"]),
-            out["joint_emb"],
-            out["img_emb"],
-            out["txt_emb"],
-        )
-
-    return fwd
+    return serving_forward(model)
 
 
 def export_serving_programs(
@@ -116,7 +106,7 @@ def export_serving_programs(
                 jax.tree_util.tree_map(lambda _: repl, params),
                 row, row, row,
             ),
-            out_shardings=(row, row, row, row),
+            out_shardings=row,  # prefix: every output row-sharded
         )
         bad = [b for b in batch_sizes if b % mesh.size]
         if bad:
@@ -134,9 +124,9 @@ def export_serving_programs(
         exp = jexport.export(jax.jit(fn, **jit_kwargs), platforms=list(platforms))(
             p_specs, img, ids, mask
         )
-        blob = exp.serialize()
-        for plat in platforms:
-            out[f"{plat}{_SEP}{b}"] = blob
+        # one multi-platform lowering per bucket: store the blob ONCE under
+        # a combined "cpu+tpu" key (the loader matches platform membership)
+        out[f"{'+'.join(platforms)}{_SEP}{b}"] = exp.serialize()
     return out
 
 
@@ -182,6 +172,12 @@ class ExportedPredictor:
                 f"artifact programs span {sorted(nr)} devices — pass a "
                 "same-size mesh to load()"
             )
+        if mesh is not None and nr != {mesh.size}:
+            # fail here with the real cause, not deep inside call_exported
+            raise ValueError(
+                f"mesh size {mesh.size} does not match the artifact's "
+                f"program device count {sorted(nr)}"
+            )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -209,15 +205,21 @@ class ExportedPredictor:
                 elif k.startswith(f"prog{_SEP}"):
                     progs_raw[k[len(f"prog{_SEP}"):]] = z[k].tobytes()
         plat = platform or jax.default_backend()
+        # program keys are "{plat}[+plat2...]::{batch}" — a multi-platform
+        # lowering is stored once and matched by membership here
         avail = sorted({k.split(_SEP)[0] for k in progs_raw})
-        if not any(k.startswith(f"{plat}{_SEP}") for k in progs_raw):
+        matching = {
+            k: v for k, v in progs_raw.items()
+            if plat in k.split(_SEP)[0].split("+")
+        }
+        if not matching:
             raise ValueError(
                 f"artifact has no programs for platform {plat!r} "
                 f"(available: {avail}); re-export with --platforms {plat}"
             )
         programs = {
             int(k.split(_SEP)[1]): jexport.deserialize(bytearray(v))
-            for k, v in progs_raw.items() if k.startswith(f"{plat}{_SEP}")
+            for k, v in matching.items()
         }
         params = jax.tree_util.tree_map(
             jax.numpy.asarray, _unflatten_params(flat)
@@ -241,7 +243,7 @@ class ExportedPredictor:
                 jax.device_put(x, self._row) for x in (image, ids, mask)
             )
         outs = self._programs[b].call(self._params, image, ids, mask)
-        return tuple(np.asarray(o)[:n] for o in outs)
+        return {k: np.asarray(v)[:n] for k, v in outs.items()}
 
     def call(self, image, ids, mask) -> Dict[str, np.ndarray]:
         image = np.asarray(image, np.float32)
@@ -250,20 +252,14 @@ class ExportedPredictor:
         n = image.shape[0]
         fit = [b for b in self.batch_sizes if b >= n]
         if fit:
-            probs, joint, img_e, txt_e = self._run_bucket(fit[0], image, ids, mask)
-        else:  # oversize request: chunk through the largest bucket
-            b = self.batch_sizes[-1]
-            parts = [
-                self._run_bucket(b, image[i:i + b], ids[i:i + b], mask[i:i + b])
-                for i in range(0, n, b)
-            ]
-            probs, joint, img_e, txt_e = (
-                np.concatenate([p[j] for p in parts]) for j in range(4)
-            )
-        return {
-            "probs": probs, "joint_emb": joint,
-            "img_emb": img_e, "txt_emb": txt_e,
-        }
+            return self._run_bucket(fit[0], image, ids, mask)
+        # oversize request: chunk through the largest bucket
+        b = self.batch_sizes[-1]
+        parts = [
+            self._run_bucket(b, image[i:i + b], ids[i:i + b], mask[i:i + b])
+            for i in range(0, n, b)
+        ]
+        return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
 
 
 def export_run(

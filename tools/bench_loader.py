@@ -94,7 +94,16 @@ def main() -> None:
         rows["native"] = "library not built (make -C native)"
 
     out_path = REPO / "BENCH_LOADER.json"
-    out_path.write_text(json.dumps(rows, indent=1))
+    existing = {}
+    if out_path.exists():
+        try:
+            existing = json.loads(out_path.read_text())
+        except ValueError:
+            existing = {}
+    # merge: a rerun without the native lib must not erase the recorded
+    # native numbers (BASELINE.md cites them)
+    existing.update(rows)
+    out_path.write_text(json.dumps(existing, indent=1))
     print(json.dumps(rows, indent=1))
 
 
