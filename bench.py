@@ -179,7 +179,29 @@ def main() -> None:
 
     setup_compile_cache()
 
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:
+        # tunnel/backend init failure (observed: axon 'Unavailable' after a
+        # long hang). Record the failure honestly as ONE parseable line
+        # instead of crashing with no bench row at all; annotate (don't
+        # clobber) the last good BENCH_DETAILS.
+        details = {}
+        try:
+            with open("BENCH_DETAILS.json") as fh:
+                details = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        details["error_backend_init"] = repr(e)
+        with open("BENCH_DETAILS.json", "w") as fh:
+            json.dump(details, fh, indent=1)
+        print(json.dumps({
+            "metric": "pairs_embedded_per_sec_per_chip(tpu-unavailable)",
+            "value": 0.0,
+            "unit": "pairs/s/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
     on_tpu = backend == "tpu"
     # headline = the FLAGSHIP parity architecture (Swin-B, reference
     # fusion.py:92). BENCH_SWIN=tiny selects the smaller stand-in, recorded
