@@ -115,6 +115,25 @@ def test_sharded_export_matches_single_device(micro, tmp_path):
         )
 
 
+def test_multiplatform_combined_key(micro, tmp_path):
+    """One multi-platform lowering is stored ONCE under a combined key;
+    the loader matches platform membership (no blob duplication)."""
+    model, params, cfg = micro
+    programs = export_serving_programs(
+        model, params, image_size=IMG, text_len=LT,
+        batch_sizes=(1,), platforms=("cpu", "tpu"),
+    )
+    assert list(programs) == ["cpu+tpu::1"]
+    path = tmp_path / "combined.npz"
+    save_artifact(path, programs, params, {})
+    pred = ExportedPredictor.load(path, platform="cpu")
+    img, ids, mask = _inputs(1, cfg)
+    out = pred.call(img, ids, mask)
+    assert out["probs"].shape == (1, 7)
+    with pytest.raises(ValueError, match="no programs for platform"):
+        ExportedPredictor.load(path, platform="rocm")
+
+
 def test_missing_platform_errors(micro, tmp_path):
     model, params, cfg = micro
     programs = export_serving_programs(
