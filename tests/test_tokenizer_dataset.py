@@ -23,6 +23,29 @@ def _tok():
     return WordPieceTokenizer.train(CORPUS, vocab_size=512, min_freq=1)
 
 
+def test_encode_arbitrary_unicode_fuzz():
+    """Serve accepts free-text queries: encode must stay well-formed on
+    any input (ids in-vocab, mask consistent, fixed shape, no raise)."""
+    import numpy as np
+
+    tok = _tok()
+    rng = np.random.default_rng(0)
+    cases = ["", " ", "\x00\x01", "ß∂ƒ©˙∆˚¬", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢", "a" * 5000,
+             "\n\t\r", "效果 效果", "🩻🩺", "-" * 99, "." * 101]
+    cases += ["".join(chr(int(c)) for c in rng.integers(1, 0x10000, 40)
+                      if int(c) not in range(0xD800, 0xE000))
+              for _ in range(30)]
+    V = len(tok.vocab)
+    for text in cases:
+        ids, mask = tok.encode(text, max_length=16)
+        assert ids.shape == (16,) and mask.shape == (16,)
+        assert ((ids >= 0) & (ids < V)).all()
+        n = int(mask.sum())
+        assert (mask[:n] == 1).all() and (mask[n:] == 0).all()
+        assert ids[0] == tok.cls_id and ids[n - 1] == tok.sep_id
+        assert (ids[n:] == tok.pad_id).all()
+
+
 def test_tokenizer_roundtrip_known_words():
     tok = _tok()
     pieces = tok.tokenize("cardiomegaly effusion")
