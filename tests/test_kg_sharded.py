@@ -63,38 +63,64 @@ def test_sharded_eval_after_training_step(rng):
         assert got[k] == pytest.approx(ref[k], abs=1e-6)
 
 
+def test_rank_fn_cached_across_calls(rng):
+    """Per-epoch validation must reuse ONE jitted program (ADVICE r3:
+    rebuilding it per call recompiles every epoch on real hardware)."""
+    tr = _make_trainer(rng, "TransE", E=40, n=120)
+    mesh = build_mesh(("dp",), (8,))
+    a = make_sharded_rank_fn(tr.model_cfg, mesh, axis="dp", n_real=40,
+                             tails=True)
+    b = make_sharded_rank_fn(tr.model_cfg, mesh, axis="dp", n_real=40,
+                             tails=True)
+    assert a is b
+    # and evaluate_sharded twice agrees with itself (cache reuse is safe)
+    first = evaluate_sharded(tr, tr.val_arr, mesh)
+    second = evaluate_sharded(tr, tr.val_arr, mesh)
+    assert first == second
+
+
 def test_rank_fn_brute_force():
     """Direct check of the SPMD rank program against numpy brute force,
-    with hand-placed ties, masks, and padding rows."""
+    with hand-placed ties, filter pairs (incl. a duplicate that must not
+    double-subtract), and padding rows."""
     E, D, B = 13, 4, 3  # pads to 16 rows over 8 shards (2 rows/shard)
     rng = np.random.default_rng(7)
     ent = rng.standard_normal((E, D)).astype(np.float32)
     ent[5] = ent[9]  # exact tie pair
     q = rng.standard_normal((B, D)).astype(np.float32)
     tgt = np.array([5, 0, 12], dtype=np.int32)
-    mask = np.zeros((B, 16), dtype=bool)
-    mask[0, 9] = True  # mask the tie partner for row 0
-    mask[1, 3] = True
+    # known-positive filter pairs; (1, 3) appears twice — dedup must hold
+    rows_idx = np.array([0, 1, 1], dtype=np.int64)
+    cols_idx = np.array([9, 3, 3], dtype=np.int64)
     mesh = build_mesh(("dp",), (8,))
     cfg = KGModelConfig(name="TransE", num_entities=E, num_relations=1,
                         emb_dim=D)
-    fn = make_sharded_rank_fn(cfg, mesh, axis="dp", n_real=E)
+    fn = make_sharded_rank_fn(cfg, mesh, axis="dp", n_real=E, tails=True)
     ent_pad = np.concatenate([ent, np.zeros((3, D), np.float32)])
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from mmrp_tpu.kg.sharded_eval import _pad_pairs
+
+    pr, pc = _pad_pairs(rows_idx, cols_idx)
+    rep = NamedSharding(mesh, P())
     ranks = np.asarray(
         fn(
-            jax.device_put(q, NamedSharding(mesh, P())),
-            jax.device_put(np.zeros_like(q), NamedSharding(mesh, P())),
-            jax.device_put(tgt, NamedSharding(mesh, P())),
+            jax.device_put(q, rep),  # anchor_emb; rel fold adds zeros
+            jax.device_put(np.zeros_like(q), rep),
+            jax.device_put(np.zeros((B, 1), np.float32), rep),
+            jax.device_put(tgt, rep),
+            jax.device_put(pr, rep),
+            jax.device_put(pc, rep),
             jax.device_put(ent_pad, NamedSharding(mesh, P("dp"))),
-            jax.device_put(mask, NamedSharding(mesh, P(None, "dp"))),
         )
     )
     # brute force (float32 throughout, same order of ops)
     scores = -np.abs(q[:, None, :] - ent[None, :, :]).sum(-1)
+    mask = np.zeros((B, E), dtype=bool)
+    mask[0, 9] = True  # the tie partner for row 0
+    mask[1, 3] = True
     for b in range(B):
         ts = scores[b, tgt[b]]
-        valid = ~mask[b, :E]
+        valid = ~mask[b]
         expect = 1 + int(((scores[b] > ts) & valid).sum())
         assert ranks[b] == expect
