@@ -1,0 +1,410 @@
+"""Cross-implementation parity vs the reference's ACTUAL torch code.
+
+Loads /root/reference/src/Model/{fusion,model,explain}.py and
+Helpers/helper.py with third-party imports stubbed (timm/medclip/captum
+are absent in this environment and not needed for the eval-time math),
+builds the reference modules with RANDOMIZED weights, converts the torch
+state_dict with mmrp_tpu.models.ref_port.convert_*, and asserts the JAX
+forward reproduces the torch forward bit-close:
+
+- PreFusionEnhancer / CrossModalFusion (seq + cls-only + default-token
+  variants, attention weight dicts)       — fusion.py:20-35,334-471
+- MultiModalRetrievalModel forward         — model.py:330-489
+  (multimodal shared/per-layer FFN, image-only, text-only; joint_emb /
+  img_emb / txt_emb / logits / attention maps)
+- contrastive (InfoNCE) loss               — helper.py:677-691
+- kg_alignment_loss cosine + mse math      — helper.py:566-612
+- compare_maps metrics                     — helper.py:173-209
+- attention-map pipeline (minmax + bilinear upsample)
+                                           — explain.py:51-119
+
+This is the strongest available proxy for "bit-for-metric parity on
+OpenI" while no real data exists in the environment: it pins every
+semantics decision (enhancer residual, separate-KV cross-attention,
+StochasticDepth/alpha residual, adapter placement, 0.6/0.4 map blend
+inputs) against the reference's own torch implementation rather than a
+re-reading of its source.
+"""
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from mmrp_tpu.models import ref_port
+
+REF = Path("/root/reference/src")
+
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference tree not available"
+)
+
+IMG_DIM, TXT_DIM, JOINT, HEADS, CLASSES, LAYERS = 96, 80, 64, 4, 9, 3
+B, NP, LT = 3, 16, 7
+
+
+class _DummyVision(torch.nn.Module):
+    """Stands in for timm's Swin; only num_features/norm are touched at
+    construction time (fusion.py:85,179-186) and the forward is never
+    called (the test swaps in precomputed backbone features)."""
+
+    def __init__(self, dim: int = IMG_DIM):
+        super().__init__()
+        self.num_features = dim
+        self.norm = torch.nn.LayerNorm(dim)
+
+
+def _install_stubs() -> None:
+    if "refmodel" in sys.modules:
+        return
+    os.environ.setdefault("MPLBACKEND", "Agg")
+
+    timm = types.ModuleType("timm")
+    timm.create_model = lambda *a, **k: _DummyVision()
+    sys.modules.setdefault("timm", timm)
+
+    helpers = types.ModuleType("Helpers")
+    helpers.load_hf_model_or_local = lambda *a, **k: types.SimpleNamespace(
+        config=types.SimpleNamespace(hidden_size=TXT_DIM)
+    )
+    helpers.download_swin = lambda **k: None
+    # helper.py:33 calls Config.load(...) at import time; any object with
+    # permissive attribute access satisfies the module-level cfg.
+    helpers.Config = types.SimpleNamespace(
+        load=lambda *a, **k: types.SimpleNamespace()
+    )
+    sys.modules.setdefault("Helpers", helpers)
+
+    medclip = types.ModuleType("medclip")
+    medclip.MedCLIPModel = object
+    medclip.MedCLIPVisionModelViT = object
+    sys.modules.setdefault("medclip", medclip)
+
+    retr = types.ModuleType("Retrieval")
+    retr.RetrievalEngine = object
+    retr.Reranker = object
+    retr.make_retrieval_engine = lambda *a, **k: None
+    sys.modules.setdefault("Retrieval", retr)
+
+    dh = types.ModuleType("DataHandler")
+    dh.parse_openi_xml = lambda *a, **k: {}
+    sys.modules.setdefault("DataHandler", dh)
+
+    if "captum" not in sys.modules:
+        captum = types.ModuleType("captum")
+        attr = types.ModuleType("captum.attr")
+        attr.IntegratedGradients = object
+        captum.attr = attr
+        sys.modules["captum"] = captum
+        sys.modules["captum.attr"] = attr
+
+
+def _load(name: str, path: Path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="session")
+def ref():
+    _install_stubs()
+    pkg = types.ModuleType("refmodel")
+    pkg.__path__ = [str(REF / "Model")]
+    sys.modules.setdefault("refmodel", pkg)
+    fusion = _load("refmodel.fusion", REF / "Model" / "fusion.py")
+    explain = _load("refmodel.explain", REF / "Model" / "explain.py")
+    model = _load("refmodel.model", REF / "Model" / "model.py")
+    helper = _load("refhelper", REF / "Helpers" / "helper.py")
+    return types.SimpleNamespace(
+        fusion=fusion, model=model, helper=helper, explain=explain
+    )
+
+
+def _randomize(module: torch.nn.Module, seed: int) -> None:
+    """Replace every parameter with N(0, 0.2) draws so identity-friendly
+    inits (alpha=1, pos_embed~0) cannot mask a semantics mismatch."""
+    g = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    module.load_state_dict(
+        {k: torch.randn(v.shape, generator=g) * 0.2 for k, v in sd.items()}
+    )
+
+
+def _np(t) -> np.ndarray:
+    return t.detach().cpu().numpy()
+
+
+def _close(a, b, atol=2e-4, rtol=2e-4, what=""):
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=atol, rtol=rtol, err_msg=what
+    )
+
+
+def _rand_feats(seed: int):
+    g = torch.Generator().manual_seed(seed)
+    ig = torch.randn(B, IMG_DIM, generator=g)
+    ip = torch.randn(B, NP, IMG_DIM, generator=g)
+    tf = torch.randn(B, LT, TXT_DIM, generator=g)
+    return ig, ip, tf
+
+
+# ---------------------------------------------------------------------------
+# CrossModalFusion (standalone module)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cls_only", [False, True])
+def test_fusion_parity(ref, cls_only):
+    f = ref.fusion.CrossModalFusion(
+        IMG_DIM, TXT_DIM, JOINT, HEADS, use_cls_only=cls_only
+    )
+    _randomize(f, 11)
+    f.eval()
+    ig, ip, tf = _rand_feats(12)
+    with torch.no_grad():
+        out_t, attn_t = f(ig, ip, tf, return_attention=True)
+
+    params = ref_port.convert_fusion_state(f.state_dict())
+    out_j, attn_j = ref_port.cross_modal_fusion(
+        params, jnp.asarray(_np(ig)), jnp.asarray(_np(ip)),
+        jnp.asarray(_np(tf)), HEADS, use_cls_only=cls_only,
+    )
+    _close(out_j, _np(out_t), what="fusion output")
+    _close(attn_j["txt2img"], _np(attn_t["txt2img"]), what="txt2img weights")
+    _close(attn_j["img2txt"], _np(attn_t["img2txt"]), what="img2txt weights")
+    if cls_only:
+        _close(attn_j["patch_avg"], _np(attn_t["patch_avg"]), what="patch_avg")
+
+
+def test_fusion_default_text_token(ref):
+    """txt_feats=None uses the module's learnable default token
+    (fusion.py:377-380,406-409)."""
+    f = ref.fusion.CrossModalFusion(IMG_DIM, TXT_DIM, JOINT, HEADS)
+    _randomize(f, 21)
+    f.eval()
+    ig, ip, _ = _rand_feats(22)
+    with torch.no_grad():
+        out_t, _ = f(ig, ip, None, return_attention=True)
+    params = ref_port.convert_fusion_state(f.state_dict())
+    out_j, _ = ref_port.cross_modal_fusion(
+        params, jnp.asarray(_np(ig)), jnp.asarray(_np(ip)), None, HEADS
+    )
+    _close(out_j, _np(out_t), what="default-token fusion output")
+
+
+# ---------------------------------------------------------------------------
+# Full model forward (model.py:330-489)
+# ---------------------------------------------------------------------------
+
+
+class _FeatStub(torch.nn.Module):
+    def __init__(self, g, p, t):
+        super().__init__()
+        self._out = ((g, p), t)
+
+    def forward(self, image, input_ids, attention_mask):
+        return self._out
+
+
+def _build_model(ref, seed: int, **kw) -> torch.nn.Module:
+    m = ref.model.MultiModalRetrievalModel(
+        joint_dim=JOINT,
+        num_heads=HEADS,
+        num_classes=CLASSES,
+        num_fusion_layers=LAYERS,
+        img_dim=IMG_DIM,
+        txt_dim=TXT_DIM,
+        pretrained=False,
+        training=True,
+        **kw,
+    )
+    _randomize(m, seed)
+    m.eval()
+    return m
+
+
+@pytest.mark.parametrize("shared_ffn", [True, False])
+def test_model_multimodal_parity(ref, shared_ffn):
+    m = _build_model(ref, 31, use_shared_ffn=shared_ffn)
+    sd = m.state_dict()
+    ig, ip, tf = _rand_feats(32)
+    m.backbones = _FeatStub(ig, ip, tf)
+    dummy = torch.zeros(1)
+    with torch.no_grad():
+        out_t = m(dummy, dummy, dummy, return_attention=True)
+
+    params = ref_port.convert_reference_state(sd, LAYERS, shared_ffn)
+    out_j = ref_port.reference_forward(
+        params, jnp.asarray(_np(ig)), jnp.asarray(_np(ip)),
+        jnp.asarray(_np(tf)), num_heads=HEADS,
+        use_shared_ffn=shared_ffn, return_attention=True,
+    )
+    _close(out_j["joint_emb"], _np(out_t["joint_emb"]), what="joint_emb")
+    _close(out_j["img_emb"], _np(out_t["img_emb"]), what="img_emb")
+    _close(out_j["txt_emb"], _np(out_t["txt_emb"]), what="txt_emb")
+    _close(out_j["logits"], _np(out_t["logits"]), what="logits")
+    for i in range(LAYERS):
+        for k in (f"layer_{i}_comb", f"layer_{i}_txt2img", f"layer_{i}_img2txt"):
+            _close(out_j["attn"][k], _np(out_t["attn"][k]), what=k)
+
+
+def test_model_image_only_parity(ref):
+    m = _build_model(ref, 41, model_type="image")
+    sd = m.state_dict()
+    ig, ip, _ = _rand_feats(42)
+    m.backbones = _FeatStub(ig, ip, None)
+    dummy = torch.zeros(1)
+    with torch.no_grad():
+        out_t = m(dummy, None, None)
+    params = ref_port.convert_reference_state(sd, LAYERS, True)
+    out_j = ref_port.reference_forward(
+        params, jnp.asarray(_np(ig)), jnp.asarray(_np(ip)), None,
+        num_heads=HEADS, model_type="image",
+    )
+    _close(out_j["joint_emb"], _np(out_t["joint_emb"]), what="image joint")
+    _close(out_j["logits"], _np(out_t["logits"]), what="image logits")
+    assert out_j["txt_emb"] is None and out_t["txt_emb"] is None
+
+
+def test_model_text_only_parity(ref):
+    m = _build_model(ref, 51, model_type="text")
+    sd = m.state_dict()
+    _, _, tf = _rand_feats(52)
+    m.backbones = _FeatStub(None, None, tf)
+    dummy = torch.zeros(1)
+    with torch.no_grad():
+        out_t = m(None, dummy, dummy)
+    params = ref_port.convert_reference_state(sd, LAYERS, True)
+    out_j = ref_port.reference_forward(
+        params, None, None, jnp.asarray(_np(tf)),
+        num_heads=HEADS, model_type="text",
+    )
+    _close(out_j["joint_emb"], _np(out_t["joint_emb"]), what="text joint")
+    _close(out_j["logits"], _np(out_t["logits"]), what="text logits")
+    assert out_j["img_emb"] is None and out_t["img_emb"] is None
+
+
+def test_model_cls_only_quirk(ref):
+    """The reference's use_cls_only=True model path crashes
+    (model.py:431-433 indexes a 2-D fused_vec with [:, 0, :]); the port
+    rejects it explicitly rather than reproducing the crash."""
+    m = _build_model(ref, 61, use_cls_only=True)
+    ig, ip, tf = _rand_feats(62)
+    m.backbones = _FeatStub(ig, ip, tf)
+    dummy = torch.zeros(1)
+    with pytest.raises(Exception):
+        with torch.no_grad():
+            m(dummy, dummy, dummy)
+    with pytest.raises(NotImplementedError):
+        ref_port.reference_forward(
+            {}, jnp.zeros((B, IMG_DIM)), jnp.zeros((B, NP, IMG_DIM)),
+            jnp.zeros((B, LT, TXT_DIM)), num_heads=HEADS, use_cls_only=True,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Losses (helper.py)
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_loss_parity(ref):
+    from mmrp_tpu.train.losses import info_nce
+
+    g = torch.Generator().manual_seed(71)
+    x = torch.randn(B + 3, JOINT, generator=g)
+    y = torch.randn(B + 3, JOINT, generator=g)
+    for temp in (0.1, 0.125):
+        ref_loss = ref.helper.contrastive_loss(
+            x, y, temperature=temp, symmetric=True
+        )
+        ours = info_nce(
+            jnp.asarray(_np(x)), jnp.asarray(_np(y)), temperature=temp
+        )
+        _close(float(ours), float(ref_loss), atol=1e-5, rtol=1e-5,
+               what=f"info_nce T={temp}")
+
+
+def test_kg_alignment_loss_parity(ref):
+    """Same projection + per-sample KG targets (direct report node / mean
+    of label-node fallbacks) -> identical cosine and mse losses. The port
+    resolves node ids on the host exactly like the reference loop; the
+    device side only sees (proj_w, targets)."""
+    from mmrp_tpu.train.losses import kg_alignment_loss
+
+    g = torch.Generator().manual_seed(81)
+    Dk, E = 24, 10
+    joint = torch.randn(B + 1, JOINT, generator=g)
+    kg_embs = torch.randn(E, Dk, generator=g)
+    node2id = {"report:a": 0, "label:L0": 3, "label:L2": 5, "report:d": 7}
+    batch_ids = ["a", "b", "c", "d"]  # b -> label fallback, c -> labels too
+    labels = torch.tensor(
+        [[0, 0, 0], [1, 0, 1], [0, 0, 1], [0, 1, 0]], dtype=torch.float32
+    )
+    label_cols = ["L0", "L1", "L2"]
+
+    proj = torch.nn.Linear(JOINT, Dk, bias=False)
+    torch.nn.init.normal_(proj.weight, generator=g)
+    trainer = types.SimpleNamespace(proj_to_kg=proj)
+
+    # replicate the reference's host-side target resolution
+    targets = np.stack([
+        _np(kg_embs[0]),
+        _np((kg_embs[3] + kg_embs[5]) / 2),
+        _np(kg_embs[5]),
+        _np(kg_embs[7]),
+    ])
+    for loss_type in ("cosine", "mse"):
+        ref_loss = ref.helper.kg_alignment_loss(
+            joint, batch_ids, kg_embs, node2id, trainer,
+            labels=labels, label_cols=label_cols, loss_type=loss_type,
+        )
+        ours = kg_alignment_loss(
+            jnp.asarray(_np(joint)), jnp.asarray(_np(proj.weight).T),
+            jnp.asarray(targets), jnp.ones(4), method=loss_type,
+        )
+        _close(float(ours), float(ref_loss), atol=1e-5, rtol=1e-5,
+               what=f"kg_alignment {loss_type}")
+
+
+def test_compare_maps_parity(ref):
+    from mmrp_tpu.models.explain import compare_maps
+
+    rng = np.random.default_rng(91)
+    a = rng.standard_normal((32, 32))
+    b = 0.5 * a + 0.5 * rng.standard_normal((32, 32))
+    r = ref.helper.compare_maps(a, b, topk_frac=0.05)
+    o = compare_maps(a, b, ious=(0.05,))
+    assert abs(r["pearson"] - o["pearson"]) < 1e-9
+    assert abs(r["spearman"] - o["spearman"]) < 1e-9
+    # continuous random data -> no ties -> identical top-k sets
+    assert abs(r["iou_top5pct"] - o["iou@5%"]) < 1e-9
+
+
+def test_attention_map_pipeline_parity(ref):
+    """minmax-normalize + bilinear upsample: jax.image.resize('bilinear')
+    matches torch F.interpolate(align_corners=False) (explain.py:51-119).
+    Both sides are min-max normalized before comparison (the reference
+    normalizes pre-resize, the port post-resize — affine-equivalent)."""
+    from mmrp_tpu.models.explain import _normalize01, patch_vector_to_map
+
+    eng = ref.explain.ExplanationEngine(None, None, image_size=(224, 224))
+    rng = np.random.default_rng(101)
+    v = rng.standard_normal((1, 1, 16)).astype(np.float32)
+    ref_map = eng.compute_attention_map(torch.tensor(v), grid_size=4)
+    ref_map = np.asarray(ref_map)
+    ref_map = (ref_map - ref_map.min()) / (ref_map.max() - ref_map.min() + 1e-8)
+    ours = np.asarray(
+        patch_vector_to_map(jnp.asarray(v[0]), 4, (224, 224))
+    )[0]
+    np.testing.assert_allclose(ours, ref_map, atol=2e-5)
