@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+import contextlib
 import os
 
 from mmrp_tpu.models.layers import DenseParams, DropPath, LnParams, Mlp, ln_f32
@@ -49,6 +50,29 @@ def _pallas_backend() -> bool:
         jax.default_backend() == "tpu"
         or os.environ.get("MMRP_FORCE_PALLAS") == "1"
     )
+
+
+# Trace-time override for the window-attention CORE kernel gate (see
+# WindowAttention below). The env/device-count default exists because the
+# Pallas custom call cannot auto-partition under plain GSPMD on a >1-chip
+# mesh; a shard_map-wrapped caller (train/joint.py::make_train_step_dp)
+# hands the kernel PER-SHARD shapes, where it is safe and fast, and opts
+# in through this context instead of mutating process env at trace time.
+_CORE_FORCE: Optional[bool] = None
+
+
+@contextlib.contextmanager
+def force_core(enabled: Optional[bool]):
+    """Within the context, force the CORE window-attention kernel ON/OFF
+    regardless of MMRP_SWIN_CORE and device count (None = defer to the
+    default gate). Trace-time only — wrap the ``model.apply`` call."""
+    global _CORE_FORCE
+    prev = _CORE_FORCE
+    _CORE_FORCE = enabled
+    try:
+        yield
+    finally:
+        _CORE_FORCE = prev
 
 
 @dataclass(frozen=True)
@@ -282,8 +306,13 @@ class WindowAttention(nn.Module):
         core_aligned = (3 * self.dim) % 128 == 0 \
             or jax.default_backend() != "tpu" \
             or os.environ.get("MMRP_SWIN_CORE_PAD", "1") == "1"
+        want_core = (
+            _CORE_FORCE
+            if _CORE_FORCE is not None
+            else os.environ.get("MMRP_SWIN_CORE", core_default) == "1"
+        )
         if (
-            os.environ.get("MMRP_SWIN_CORE", core_default) == "1"
+            want_core
             and core_aligned
             and H % ws == 0 and W % ws == 0 and nW > 1
         ):

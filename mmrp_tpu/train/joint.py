@@ -93,6 +93,18 @@ def compute_losses(
         deterministic=deterministic,
         rngs=None if deterministic else {"dropout": rng},
     )
+    return assemble_losses(params, out, batch, cfg, pos_weight)
+
+
+def assemble_losses(
+    params: Dict[str, Any],
+    out: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    cfg: Config,
+    pos_weight: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Loss assembly from model outputs (shared by the plain-jit step and
+    the shard_map DP step, which assembles over all-gathered outputs)."""
     valid = batch.get("valid")
     labels = batch["labels"]
 
@@ -154,6 +166,109 @@ def make_train_step(
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_step_dp(
+    model: MultiModalRetrievalModel,
+    cfg: Config,
+    mesh,
+    pos_weight: Optional[np.ndarray] = None,
+    *,
+    axis_name: str = "dp",
+    donate: bool = True,
+    core_kernel: Optional[bool] = None,
+) -> Callable:
+    """Data-parallel train step wrapped in ``shard_map`` so the Pallas
+    kernels see PER-SHARD shapes (SURVEY §2.9/§5.8).
+
+    Why this exists: the CORE window-attention kernel
+    (ops/wattn_core.py, +20.5-33% flagship train) is a Pallas custom
+    call, which plain GSPMD jit cannot partition across a >1-chip mesh —
+    models/swin.py therefore gates it off whenever
+    ``jax.device_count() > 1``. Wrapping the step in shard_map hands the
+    kernel local shapes, so multi-chip training keeps the single-chip
+    kernel win; ``core_kernel`` opts in via models/swin.py::force_core
+    (default: ON when the backend is TPU, OFF elsewhere — interpret-mode
+    kernels are for tests).
+
+    Numerics contract: identical to the plain-jit GSPMD step
+    (tests/test_train_dp.py asserts updated params match). The
+    batch-coupled losses (in-batch InfoNCE negatives, global masked
+    means) are preserved by assembling the loss from ALL-GATHERED model
+    outputs: every shard computes the identical GLOBAL loss, and because
+    the all_gather transpose (psum_scatter) sums the n identical
+    cotangents, the local grads come out exactly n x the true per-shard
+    contribution — ``psum(grads) / n`` recovers the exact global
+    gradient with no loss-function rewrites. The gathered tensors are
+    (B, joint_dim)-sized embeddings and logits, so the extra ICI traffic
+    is O(B * D) per step, and the redundant global loss assembly is
+    elementwise + (B, B) GEMMs — noise next to the backbone.
+
+    Note on stochastic layers: each shard draws dropout/augment noise
+    from the SAME per-step key over its LOCAL batch shape, so masks
+    differ from the single-program run (same distribution; exact
+    equality tests use dropout 0 / augment off).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from mmrp_tpu.models import swin as swin_mod
+
+    pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
+    if core_kernel is None:
+        core_kernel = jax.default_backend() == "tpu"
+    n_shards = mesh.shape[axis_name]
+    _GATHER_BATCH = ("labels", "valid", "kg_target", "kg_target_valid")
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng = state.step_rng()
+
+        def loss_fn(params):
+            image = batch["image"]
+            loss_rng = rng
+            if getattr(cfg, "augment", False):
+                from mmrp_tpu.ops.preprocess import augment_batch
+
+                loss_rng, aug_rng = jax.random.split(rng)
+                image = augment_batch(image, aug_rng)
+            with swin_mod.force_core(core_kernel):
+                out = model.apply(
+                    {"params": params["model"]},
+                    image,
+                    batch["input_ids"],
+                    batch["attention_mask"],
+                    deterministic=False,
+                    rngs={"dropout": loss_rng},
+                )
+
+            def gather(x):
+                return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+
+            gout = {
+                k: gather(out[k])
+                for k in ("logits", "img_emb", "txt_emb", "joint_emb")
+            }
+            gbatch = {k: gather(batch[k]) for k in _GATHER_BATCH if k in batch}
+            return assemble_losses(params, gout, gbatch, cfg, pw)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, axis_name) / n_shards, grads
+        )
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    smapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(
