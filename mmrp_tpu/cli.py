@@ -145,6 +145,18 @@ def cmd_eval_ret(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    from mmrp_tpu.eval.parity import run_parity
+
+    rep = run_parity(args.data, args.run_dir, out_dir=args.out, k=args.k,
+                     explain_queries=args.explain_n)
+    out = args.out or str(Path(args.run_dir) / "parity")
+    print(json.dumps(
+        {"report": str(Path(out) / "PARITY_RESULTS.md"),
+         "n_test": rep["n_test"], "wall_s": rep["wall_s"]}, indent=1))
+    return 0
+
+
 def cmd_kg_probe(args) -> int:
     from mmrp_tpu.eval.kg_probe import full_probe
     from mmrp_tpu.labels import LABEL_COLS
@@ -244,6 +256,23 @@ def main(argv=None) -> int:
                    help="trained run dir supplying reranker inputs (labels/KG)")
     _add_common(p)
     p.set_defaults(fn=cmd_eval_ret)
+
+    p = sub.add_parser(
+        "parity",
+        help="run the reference's FULL eval protocol (classification + "
+             "dual-gallery retrieval + variants/significance + explain "
+             "alignment + diversity + KG probes) and write "
+             "PARITY_RESULTS.md",
+    )
+    p.add_argument("--data", required=True,
+                   help="data pipeline output dir (records_cache.json)")
+    p.add_argument("--run-dir", required=True, help="trained run dir")
+    p.add_argument("--out", default=None,
+                   help="report dir (default: <run-dir>/parity)")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--explain-n", type=int, default=8,
+                   help="queries for the explain-alignment/diversity pass")
+    p.set_defaults(fn=cmd_parity)
 
     p = sub.add_parser("kg-probe", help="KG embedding health checks")
     p.add_argument("--kg-dir", required=True)

