@@ -67,11 +67,26 @@ def _build_model(use_pallas: bool, text_len: int, swin_name: str = None):
     # fused attention kernel + int8 FFN (12.0 -> 9.96 ms vs bf16 fused);
     # Swin stays bf16 (bandwidth-bound). "int8_all" = plain XLA W8A8
     # everywhere (no fused kernels) for comparison.
+    # "int8_swins" additionally serves the Swin whole-block kernel with
+    # STATIC-scale W8A8 (pre-quantized weights + fixed per-tensor act
+    # scales — ops/fused_swin_block.py static flavor; fidelity gate
+    # tests/test_quant_static.py). Act-scale values do not affect speed,
+    # so the bench uses a constant (BENCH_ACT_AMAX, default 8.0); real
+    # serving calibrates via models/quant_calib.py.
     quant = os.environ.get("BENCH_QUANT", "int8")
+    swin_kw = {}
+    if quant == "int8_swins":
+        depths = {"tiny": (2, 2, 6, 2), "small": (2, 2, 18, 2),
+                  "base": (2, 2, 18, 2)}.get(swin_name, (2, 2, 6, 2))
+        a = float(os.environ.get("BENCH_ACT_AMAX", "8.0"))
+        swin_kw = {"quant": "int8_static",
+                   "act_amax": tuple((a,) * 4 for _ in range(sum(depths)))}
     cfg = MultiModalConfig(
-        swin=SwinConfig.from_name(f"swin_{swin_name}", use_pallas=use_pallas),
+        swin=SwinConfig.from_name(f"swin_{swin_name}", use_pallas=use_pallas,
+                                  **swin_kw),
         text=TextConfig.clinicalbert(
-            quant={"int8": "int8_kernel", "int8_all": "int8"}.get(quant, "none")),
+            quant={"int8": "int8_kernel", "int8_all": "int8",
+                   "int8_swins": "int8_kernel"}.get(quant, "none")),
         joint_dim=1024,
         num_fusion_layers=5,
         num_heads=8,

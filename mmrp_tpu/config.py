@@ -150,9 +150,16 @@ class Config:
     #   v stays f32 — see train/state.py::make_optimizer)
     # serving precision: "none" = bf16; "int8" = the measured-optimum W8A8
     # mix (fusion stack + BERT in-kernel/FFN int8, Swin bf16 — ops/quant.py,
-    # fidelity gates in tests/test_quant_model.py). Inference-only: training
-    # always runs full precision.
+    # fidelity gates in tests/test_quant_model.py); "int8_static" = that
+    # mix PLUS static-scale int8 in the Swin whole-block kernel (weights
+    # pre-quantized, activation scales from swin_act_amax_path — fidelity
+    # gate at flagship widths in tests/test_quant_static.py).
+    # Inference-only: training always runs full precision.
     serve_quant: str = "none"
+    # calibration artifact for serve_quant="int8_static": JSON written by
+    # models/quant_calib.py::save_act_amax. None = dynamic per-row
+    # activation scales (weights still static int8).
+    swin_act_amax_path: Optional[str] = None
 
     # auto-generated
     run_name: str = field(init=False, default="")

@@ -63,6 +63,18 @@ class MultiModalConfig:
         full-size backbones (Swin-B + ClinicalBERT dims). ``text_override``
         pins the text tower's dims (pretrained-bootstrap path: the tower
         must be built at the ported checkpoint's shape, models/port.py)."""
+        sq = getattr(cfg, "serve_quant", "none")
+        swin_kw = {}
+        if sq == "int8_static":
+            # static-scale W8A8 in the Swin whole-block kernel (wide-C
+            # stages); activation scales from the calibration artifact if
+            # present, else dynamic per-row (weights still static int8)
+            swin_kw["quant"] = "int8_static"
+            amax_path = getattr(cfg, "swin_act_amax_path", None)
+            if amax_path:
+                from mmrp_tpu.models.quant_calib import load_act_amax
+
+                swin_kw["act_amax"] = load_act_amax(amax_path)
         swin = SwinConfig.from_name(
             cfg.image_backbone if cfg.image_backbone.startswith("swin")
             # MedCLIP's vision tower is Swin-Tiny (models/medclip.py)
@@ -70,6 +82,7 @@ class MultiModalConfig:
             use_pallas=cfg.use_pallas_attention,
             img_size=cfg.image_size,
             remat=cfg.remat_backbone,
+            **swin_kw,
         )
         backbone = cfg.image_backbone.lower()
         if backbone.startswith("swin"):
@@ -85,8 +98,7 @@ class MultiModalConfig:
             vision_backbone = backbone
         else:
             vision_backbone = "swin"
-        tq = "int8_kernel" if getattr(cfg, "serve_quant", "none") == "int8" \
-            else "none"
+        tq = "int8_kernel" if sq in ("int8", "int8_static") else "none"
         # one knob remats all three heavy towers (Swin blocks, BERT layers,
         # fusion stack) — big-batch training trades FLOPs for activation HBM
         rm = bool(cfg.remat_backbone)
@@ -116,8 +128,7 @@ class MultiModalConfig:
             use_shared_ffn=cfg.use_shared_ffn,
             use_cls_only=cfg.use_cls_only,
             max_text_len=cfg.text_dim,
-            quant="int8" if getattr(cfg, "serve_quant", "none") == "int8"
-            else "none",
+            quant="int8" if sq in ("int8", "int8_static") else "none",
         )
 
 

@@ -91,9 +91,18 @@ class SwinConfig:
     # per-stage override of use_pallas (None = use_pallas everywhere): lets
     # late stages (tiny nW, wide C) take the XLA path where measured faster
     pallas_stages: Optional[Tuple[bool, ...]] = None
-    # "int8": W8A8 GEMMs inside the whole-block kernel at wide-C stages
-    # (serving path only; ops/quant.py scheme, ops/fused_swin_block.py)
+    # "int8": dynamic W8A8 GEMMs inside the whole-block kernel at wide-C
+    # stages (serving path only; ops/quant.py scheme — measured +9.5% LOSS
+    # from the per-grid-program weight re-quant, docs/ROOFLINE.md §6);
+    # "int8_static": pre-quantized int8 weights + calibrated per-tensor
+    # activation scales (act_amax below) — the static scheme that removes
+    # exactly that overhead
     quant: str = "none"
+    # quant="int8_static": per-block calibrated activation abs-max, a tuple
+    # (global block order) of 4-tuples (qkv_in, proj_in, mlp1_in, mlp2_in)
+    # from models/quant_calib.py::calibrate_swin_act_amax. None = dynamic
+    # per-row activation scales (weights still pre-quantized static).
+    act_amax: Optional[Tuple[Tuple[float, float, float, float], ...]] = None
     remat: bool = False  # jax.checkpoint per block: FLOPs for activation memory
 
     @property
@@ -279,6 +288,13 @@ class WindowAttention(nn.Module):
 
         # XLA path: manual LN (params shared with the fused path)
         y = ln_f32(x, ln_scale, ln_bias, self.dtype)
+        # static-quant calibration statistic (models/quant_calib.py): the
+        # qkv GEMM input's abs-max. sow() is a no-op (and the max is DCE'd)
+        # unless apply() runs with mutable=["intermediates"].
+        self.sow("intermediates", "qkv_in_amax",
+                 jnp.max(jnp.abs(y)).astype(jnp.float32),
+                 reduce_fn=jnp.maximum,
+                 init_fn=lambda: jnp.array(0.0, jnp.float32))
 
         # Default ON for the TPU XLA branch (i.e. training, where
         # use_pallas is off): measured back-to-back on the Swin-B b64
@@ -375,6 +391,10 @@ class WindowAttention(nn.Module):
             winq = win.reshape(B, nW, N, 3, self.num_heads, head_dim)
             attn_out = window_attention_xla_direct(winq, rel, smask, scale)
             attn_out = window_reverse(attn_out, ws, H, W)  # (B, H, W, C)
+            self.sow("intermediates", "proj_in_amax",
+                     jnp.max(jnp.abs(attn_out)).astype(jnp.float32),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.array(0.0, jnp.float32))
             out = attn_out @ proj_k.astype(y.dtype) + proj_b.astype(y.dtype)
         if shift > 0:
             out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
@@ -392,6 +412,9 @@ class SwinBlock(nn.Module):
     dropout: float = 0.0
     use_pallas: bool = True
     quant: str = "none"
+    # calibrated (qkv_in, proj_in, mlp1_in, mlp2_in) activation abs-max for
+    # quant="int8_static" (None = dynamic per-row activation scales)
+    act_amax: Optional[Tuple[float, float, float, float]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -443,7 +466,40 @@ class SwinBlock(nn.Module):
                 w1.astype(self.dtype), b1.astype(self.dtype),
                 w2.astype(self.dtype), b2.astype(self.dtype),
             )
-            if os.environ.get("MMRP_SWIN_RAW", "0") == "1":
+            if self.quant == "int8_static":
+                # static W8A8: weights quantized OUTSIDE the kernel (one
+                # VPU pass per forward, LICM-hoisted out of scan loops;
+                # constant-folded entirely when params are trace constants)
+                # + calibrated per-tensor activation scales as compile-time
+                # floats — removes the dynamic scheme's per-grid-program
+                # weight re-quant and abs-max passes (docs/ROOFLINE.md §6).
+                # Windows flavor only (MMRP_SWIN_RAW does not apply).
+                from mmrp_tpu.ops.quant import quantize_weight
+
+                wq_qkv, s_qkv = quantize_weight(qkv_k)
+                wq_proj, s_proj = quantize_weight(proj_k)
+                wq_1, s_1 = quantize_weight(w1)
+                wq_2, s_2 = quantize_weight(w2)
+                act_scales = (
+                    tuple(float(a) / 127.0 for a in self.act_amax)
+                    if self.act_amax is not None else None)
+                xw = window_partition(xs, ws)
+                ow = fused_swin_block_windows(
+                    xw,
+                    ln0_s.astype(jnp.float32), ln0_b.astype(jnp.float32),
+                    wq_qkv, qkv_b.astype(self.dtype),
+                    wq_proj, proj_b.astype(self.dtype),
+                    ln1_s.astype(jnp.float32), ln1_b.astype(jnp.float32),
+                    wq_1, b1.astype(self.dtype),
+                    wq_2, b2.astype(self.dtype),
+                    bias_pad, self.num_heads,
+                    quant="static",
+                    wscales=(s_qkv.reshape(-1), s_proj.reshape(-1),
+                             s_1.reshape(-1), s_2.reshape(-1)),
+                    act_scales=act_scales,
+                )
+                out = window_reverse(ow, ws, H_, W_)
+            elif os.environ.get("MMRP_SWIN_RAW", "0") == "1":
                 # raw-map flavor: BlockSpecs slice windows straight out of
                 # the feature map — no XLA partition/reverse copies
                 from mmrp_tpu.ops.fused_swin_block import fused_swin_block_raw
@@ -513,7 +569,15 @@ class SwinBlock(nn.Module):
             return x + DropPath(self.drop_path)(out, deterministic)
 
         y = ln_f32(x, ln_scale, ln_bias, self.dtype)
+        self.sow("intermediates", "mlp1_in_amax",
+                 jnp.max(jnp.abs(y)).astype(jnp.float32),
+                 reduce_fn=jnp.maximum,
+                 init_fn=lambda: jnp.array(0.0, jnp.float32))
         y = jax.nn.gelu(y @ w1.astype(self.dtype) + b1.astype(self.dtype))
+        self.sow("intermediates", "mlp2_in_amax",
+                 jnp.max(jnp.abs(y)).astype(jnp.float32),
+                 reduce_fn=jnp.maximum,
+                 init_fn=lambda: jnp.array(0.0, jnp.float32))
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = y @ w2.astype(self.dtype) + b2.astype(self.dtype)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
@@ -552,6 +616,11 @@ class SwinEncoder(nn.Module):
         x = PatchEmbed(cfg.embed_dim, cfg.patch_size, dtype=self.dtype, name="patch_embed")(x)
 
         total_blocks = sum(cfg.depths)
+        if cfg.act_amax is not None and len(cfg.act_amax) != total_blocks:
+            raise ValueError(
+                f"act_amax has {len(cfg.act_amax)} entries, model has "
+                f"{total_blocks} blocks — recalibrate "
+                "(models/quant_calib.py) for this architecture")
         dpr = np.linspace(0.0, cfg.drop_path_rate, total_blocks)
         block_idx = 0
         dim = cfg.embed_dim
@@ -584,6 +653,8 @@ class SwinEncoder(nn.Module):
                     dropout=cfg.dropout,
                     use_pallas=stage_pallas,
                     quant=cfg.quant,
+                    act_amax=(cfg.act_amax[block_idx]
+                              if cfg.act_amax is not None else None),
                     dtype=self.dtype,
                     name=f"stage{stage}_block{blk}",
                 )(x, deterministic)

@@ -111,22 +111,66 @@ def _ln_rows(xf, scale_ref, bias_ref, eps):
         + bias_ref[...][None, :]
 
 
+def _static_gemm(s_ref, sa):
+    """W8A8 GEMM closure with a PRE-QUANTIZED int8 weight ref + per-out-
+    channel f32 scale ref. ``sa`` (a Python float, compile-time constant)
+    is the calibrated per-tensor activation scale: the abs-max/127 of this
+    GEMM's input on a calibration set (models/quant_calib.py). With it,
+    the only per-element activation work left is one multiply + round +
+    clip — the dynamic scheme's abs-max reduce AND the per-grid-program
+    weight re-quantization pass (the diagnosed cause of the +9.5% dynamic
+    int8-in-Swin loss, docs/ROOFLINE.md §6) are both gone. sa=None keeps
+    dynamic per-row activation scales (weights still static)."""
+
+    def gemm(x, w_ref, b_ref):
+        xf = x.astype(jnp.float32)
+        if sa is not None:
+            xq = jnp.clip(jnp.round(xf * (1.0 / sa)), -127.0, 127.0
+                          ).astype(jnp.int8)
+        else:
+            sx = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+            xq = jnp.round(xf / sx).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * s_ref[...][None, :]
+        out = out * sa if sa is not None else out * sx
+        return out + b_ref[...][None, :]
+
+    return gemm
+
+
 def _block_body(x4, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref,
                 b2_ref, bias_ref, *, num_heads: int, scale: float, eps: float,
-                npad: int, quant: bool):
+                npad: int, quant, scale_refs=None, act_scales=None):
     """Shared whole-block math on an in-VMEM (ib, wblk, N, C) array.
-    Returns (ib, wblk, npad, C); rows N..npad (if any) carry garbage."""
-    if quant:
+    Returns (ib, wblk, npad, C); rows N..npad (if any) carry garbage.
+
+    quant: False = bf16 GEMMs; True = dynamic W8A8 (weights re-quantized
+    in VMEM per grid program); "static" = pre-quantized int8 weight refs
+    + ``scale_refs`` (4 per-out-channel f32 scale vectors, qkv/proj/w1/w2
+    order) + optional ``act_scales`` (4 calibrated per-tensor activation
+    scales as Python floats)."""
+    if quant == "static":
+        a = act_scales if act_scales is not None else (None,) * 4
+        gemm_qkv = _static_gemm(scale_refs[0], a[0])
+        gemm_proj = _static_gemm(scale_refs[1], a[1])
+        gemm_mlp1 = _static_gemm(scale_refs[2], a[2])
+        gemm_mlp2 = _static_gemm(scale_refs[3], a[3])
+    elif quant:
         from mmrp_tpu.ops.fused_attention import _qdot
 
         def gemm(x, w_ref, b_ref):
             return _qdot(x, w_ref) + b_ref[...][None, :]
+        gemm_qkv = gemm_proj = gemm_mlp1 = gemm_mlp2 = gemm
     else:
         def gemm(x, w_ref, b_ref):
             return jnp.dot(x, w_ref[...],
                            preferred_element_type=jnp.float32) \
                 + b_ref[...][None, :]
+        gemm_qkv = gemm_proj = gemm_mlp1 = gemm_mlp2 = gemm
     ib, wblk, N, C = x4.shape           # N = ws*ws (unpadded)
     h = num_heads
     d = C // h
@@ -143,7 +187,7 @@ def _block_body(x4, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
     # --- attention half ---
     qin = _ln_rows(xf2, ln0_s_ref, ln0_b_ref, eps).astype(x2.dtype)
-    qkv2 = gemm(qin, wqkv_ref, bqkv_ref).astype(x2.dtype)
+    qkv2 = gemm_qkv(qin, wqkv_ref, bqkv_ref).astype(x2.dtype)
     # (rows, 3C) — ONE GEMM, all windows
     qkv3 = qkv2.reshape(nb, npad, 3 * C)
 
@@ -175,25 +219,32 @@ def _block_body(x4, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     attn3 = jnp.concatenate(head_outs, axis=-1)          # (nb, npad, C)
     attn2 = attn3.reshape(rows, C)
 
-    y2 = xf2 + gemm(attn2, wproj_ref, bproj_ref)         # (rows, C) f32
+    y2 = xf2 + gemm_proj(attn2, wproj_ref, bproj_ref)    # (rows, C) f32
 
     # --- MLP half ---
     z = _ln_rows(y2, ln1_s_ref, ln1_b_ref, eps).astype(x2.dtype)
-    hdn = jax.nn.gelu(gemm(z, w1_ref, b1_ref)).astype(x2.dtype)
-    out2 = y2 + gemm(hdn, w2_ref, b2_ref)
+    hdn = jax.nn.gelu(gemm_mlp1(z, w1_ref, b1_ref)).astype(x2.dtype)
+    out2 = y2 + gemm_mlp2(hdn, w2_ref, b2_ref)
     return out2.astype(x2.dtype).reshape(ib, wblk, npad, C)
 
 
 def _kernel(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            bias_ref, o_ref, *, num_heads: int, scale: float, eps: float,
-            npad: int, quant: bool = False):
+            bias_ref, *rest, num_heads: int, scale: float, eps: float,
+            npad: int, quant=False, act_scales=None):
+    # static-quant flavor appends 4 per-out-channel scale refs after bias
+    if quant == "static":
+        sqkv_ref, sproj_ref, s1_ref, s2_ref, o_ref = rest
+        scale_refs = (sqkv_ref, sproj_ref, s1_ref, s2_ref)
+    else:
+        (o_ref,) = rest
+        scale_refs = None
     N = x_ref.shape[2]
     out4 = _block_body(
         x_ref[...], ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         bproj_ref, ln1_s_ref, ln1_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         bias_ref, num_heads=num_heads, scale=scale, eps=eps, npad=npad,
-        quant=quant,
+        quant=quant, scale_refs=scale_refs, act_scales=act_scales,
     )
     o_ref[...] = out4[:, :, :N]         # pad rows never reach HBM
 
@@ -299,7 +350,7 @@ def _kernel_win(x_ref, ln0_s_ref, ln0_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
                  ln1_s, ln1_b, w1, b1, w2, b2, bias_pad,
                  *, num_heads, eps, wblk, ib, pad_gemm, nopad, quant,
-                 interpret):
+                 interpret, wscales=None, act_scales=None):
     B, nW, N, C = xw.shape             # N = ws*ws, unpadded
     npad = bias_pad.shape[-1]
     hidden = w1.shape[1]
@@ -334,9 +385,12 @@ def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
             + 2 * (4 * C * C + 2 * C * hidden),
             transcendentals=B * nW * num_heads * npad * npad,
         )
+    if quant == "static" and not pad_gemm:
+        raise ValueError("static W8A8 requires the pad_gemm flavor")
     if pad_gemm:
         kernel = functools.partial(_kernel, num_heads=num_heads, scale=scale,
-                                   eps=eps, npad=npad, quant=quant)
+                                   eps=eps, npad=npad, quant=quant,
+                                   act_scales=act_scales)
         bias = bias_pad
         nb = npad
     else:
@@ -350,34 +404,44 @@ def _pallas_impl(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
     # grid order (window-block OUTER, image-block INNER): the bias block
     # depends only on the window index, so it stays VMEM-resident across
     # the whole batch sweep (same reuse argument as the attention kernel).
+    in_specs = [
+        pl.BlockSpec((ib, wblk, N, C), lambda w, b: (b, w, 0, 0), **vm),
+        pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+        pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+        pl.BlockSpec((C, 3 * C), lambda w, b: (0, 0), **vm),
+        pl.BlockSpec((3 * C,), lambda w, b: (0,), **vm),
+        pl.BlockSpec((C, C), lambda w, b: (0, 0), **vm),
+        pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+        pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+        pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+        pl.BlockSpec((C, hidden), lambda w, b: (0, 0), **vm),
+        pl.BlockSpec((hidden,), lambda w, b: (0,), **vm),
+        pl.BlockSpec((hidden, C), lambda w, b: (0, 0), **vm),
+        pl.BlockSpec((C,), lambda w, b: (0,), **vm),
+        pl.BlockSpec(
+            (wblk, num_heads, nb, nb), lambda w, b: (w, 0, 0, 0), **vm
+        ),
+    ]
+    args = [xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
+            ln1_s, ln1_b, w1, b1, w2, b2, bias]
+    if quant == "static":
+        # per-out-channel dequant scale vectors (qkv/proj/w1/w2 order),
+        # VMEM-resident like the biases
+        for s, n_out in zip(wscales, (3 * C, C, hidden, C)):
+            if s.shape != (n_out,):
+                raise ValueError(f"weight scale shape {s.shape} != ({n_out},)")
+            in_specs.append(pl.BlockSpec((n_out,), lambda w, b: (0,), **vm))
+            args.append(s)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, nW, N, C), xw.dtype),
         grid=(nW // wblk, B // ib),
-        in_specs=[
-            pl.BlockSpec((ib, wblk, N, C), lambda w, b: (b, w, 0, 0), **vm),
-            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
-            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
-            pl.BlockSpec((C, 3 * C), lambda w, b: (0, 0), **vm),
-            pl.BlockSpec((3 * C,), lambda w, b: (0,), **vm),
-            pl.BlockSpec((C, C), lambda w, b: (0, 0), **vm),
-            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
-            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
-            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
-            pl.BlockSpec((C, hidden), lambda w, b: (0, 0), **vm),
-            pl.BlockSpec((hidden,), lambda w, b: (0,), **vm),
-            pl.BlockSpec((hidden, C), lambda w, b: (0, 0), **vm),
-            pl.BlockSpec((C,), lambda w, b: (0,), **vm),
-            pl.BlockSpec(
-                (wblk, num_heads, nb, nb), lambda w, b: (w, 0, 0, 0), **vm
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (ib, wblk, N, C), lambda w, b: (b, w, 0, 0), **vm),
         interpret=interpret,
         **kwargs,
-    )(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
-      ln1_s, ln1_b, w1, b1, w2, b2, bias)
+    )(*args)
 
 
 def _pallas_impl_raw(x, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
@@ -519,11 +583,14 @@ def fused_swin_block_raw(
 
 def xla_equivalent(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
                    ln1_s, ln1_b, w1, b1, w2, b2, bias_pad,
-                   *, num_heads: int, eps: float = 1e-6):
+                   *, num_heads: int, eps: float = 1e-6,
+                   return_act_amax: bool = False):
     """Pure-XLA whole-block computation on (unpadded) windows — the
     autodiff body of the custom VJP and the correctness oracle in tests.
     bias_pad may be padded (nW, h, npad, npad); only the real N x N slice
-    is consumed."""
+    is consumed. return_act_amax=True additionally returns the 4 GEMM
+    inputs' abs-max (qkv/proj/w1/w2 order) — the per-block calibration
+    statistic of the static W8A8 path (models/quant_calib.py)."""
     B, nW, N, C = xw.shape
     h = num_heads
     d = C // h
@@ -565,6 +632,14 @@ def xla_equivalent(xw, ln0_s, ln0_b, wqkv, bqkv, wproj, bproj,
         jnp.einsum("bwnh,hc->bwnc", hdn, w2,
                    preferred_element_type=jnp.float32) + b2
     )
+    if return_act_amax:
+        amax = jnp.stack([
+            jnp.max(jnp.abs(qin.astype(jnp.float32))),
+            jnp.max(jnp.abs(attn.astype(jnp.float32))),
+            jnp.max(jnp.abs(z.astype(jnp.float32))),
+            jnp.max(jnp.abs(hdn.astype(jnp.float32))),
+        ])
+        return out.astype(xw.dtype), amax
     return out.astype(xw.dtype)
 
 
@@ -604,7 +679,13 @@ def fused_swin_block_windows(
     block_windows: Optional[int] = None,
     image_block: Optional[int] = None,
     pad_gemm: Optional[bool] = None,
-    quant: bool = False,               # W8A8 int8 GEMMs (pad flavor only)
+    quant=False,                       # W8A8 int8 GEMMs (pad flavor only):
+    #   True = dynamic (weights re-quantized per grid program — measured
+    #   +9.5% LOSS, docs/ROOFLINE.md §6); "static" = pre-quantized int8
+    #   weights + wscales (+ optional calibrated act_scales) — serving
+    #   only, no VJP
+    wscales=None,                      # static: 4 f32 (n_out,) scale vectors
+    act_scales=None,                   # static: 4 Python-float act scales
     ln_eps: float = 1e-6,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -638,6 +719,18 @@ def fused_swin_block_windows(
     # padded flavor; ib selection above stays on the padded npad so the
     # grid geometry matches the tuned defaults (rows 448 -> 392).
     nopad = os.environ.get("MMRP_SWIN_NOPAD", "1") == "1"
+    if quant == "static":
+        # serving-only path (no VJP): weights arrive pre-quantized int8 —
+        # the custom-VJP recompute body (xla_equivalent) needs float
+        # weights, and grads through a post-training-quantized block are
+        # meaningless anyway
+        return _pallas_impl(
+            xw, ln0_scale, ln0_bias, w_qkv, b_qkv, w_proj, b_proj,
+            ln1_scale, ln1_bias, w1, b1, w2, b2, bias_pad,
+            num_heads=num_heads, eps=float(ln_eps), wblk=int(block_windows),
+            ib=int(image_block), pad_gemm=True, nopad=nopad, quant="static",
+            interpret=bool(interpret), wscales=wscales,
+            act_scales=act_scales)
     fn = _make_fused(num_heads, float(ln_eps), int(block_windows),
                      int(image_block), bool(pad_gemm), bool(nopad),
                      bool(quant and pad_gemm), bool(interpret))

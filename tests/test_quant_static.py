@@ -1,0 +1,188 @@
+"""Static-scale W8A8 Swin serving path: kernel fidelity + calibration flow.
+
+VERDICT r3 #1 / weak #4: the dynamic int8-in-Swin scheme lost +9.5% to
+per-GEMM quant overhead (docs/ROOFLINE.md §6); the static scheme
+(pre-quantized weights + calibrated per-tensor activation scales) removes
+it. These tests gate its FIDELITY — including at flagship (Swin-B) widths,
+where the headline bench runs and where no gate existed before:
+
+- kernel-level: the static whole-block kernel vs the XLA f32 oracle at
+  Swin-B stage-3 geometry (C=512), both nopad/pad flavors, with scales
+  calibrated from the oracle's own intermediates;
+- calibration flow: sow-captured abs-max == the oracle's
+  return_act_amax values; micro end-to-end cosine;
+- flagship-width gate: a reduced-depth encoder with every Swin-B stage
+  width (128/256/512/1024) served int8_static vs f32 — cosine > 0.995.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmrp_tpu.models.quant_calib import calibrate_swin_act_amax
+from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
+from mmrp_tpu.ops.fused_swin_block import (
+    build_bias_padded,
+    fused_swin_block_windows,
+    xla_equivalent,
+)
+from mmrp_tpu.ops.quant import quantize_weight
+
+
+def _block_weights(rng, C, hidden):
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    return dict(
+        ln0_s=jnp.ones((C,), jnp.float32), ln0_b=mk(C) * 0.02,
+        wqkv=mk(C, 3 * C) * 0.05, bqkv=mk(3 * C) * 0.02,
+        wproj=mk(C, C) * 0.05, bproj=mk(C) * 0.02,
+        ln1_s=jnp.ones((C,), jnp.float32), ln1_b=mk(C) * 0.02,
+        w1=mk(C, hidden) * 0.05, b1=mk(hidden) * 0.02,
+        w2=mk(hidden, C) * 0.05, b2=mk(C) * 0.02,
+    )
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float32).reshape(a.shape[0], -1)
+    b = np.asarray(b, np.float32).reshape(b.shape[0], -1)
+    return (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12)
+
+
+@pytest.mark.parametrize("nopad", ["1", "0"])
+@pytest.mark.parametrize("static_acts", [True, False])
+def test_static_kernel_matches_oracle_stage3_width(monkeypatch, nopad,
+                                                   static_acts):
+    """Swin-B stage-3 geometry (C=512, h=16): static W8A8 kernel vs the
+    f32 XLA oracle, activation scales calibrated from the oracle's own
+    intermediates (static_acts=False keeps dynamic per-row scales)."""
+    monkeypatch.setenv("MMRP_SWIN_NOPAD", nopad)
+    rng = np.random.default_rng(0)
+    B, ws, H = 2, 7, 14
+    C, hidden, heads = 512, 2048, 16
+    nW, N = (H // ws) ** 2, ws * ws
+    w = _block_weights(rng, C, hidden)
+    xw = jnp.asarray(rng.standard_normal((B, nW, N, C)).astype(np.float32))
+
+    rel = jnp.asarray(
+        rng.standard_normal(((2 * ws - 1) ** 2, heads)).astype(np.float32))
+    bias_pad = build_bias_padded(rel, ws, H, H, 0)
+
+    ref, amax = xla_equivalent(
+        xw, w["ln0_s"], w["ln0_b"], w["wqkv"], w["bqkv"], w["wproj"],
+        w["bproj"], w["ln1_s"], w["ln1_b"], w["w1"], w["b1"], w["w2"],
+        w["b2"], bias_pad, num_heads=heads, return_act_amax=True)
+
+    wq_qkv, s_qkv = quantize_weight(w["wqkv"])
+    wq_proj, s_proj = quantize_weight(w["wproj"])
+    wq_1, s_1 = quantize_weight(w["w1"])
+    wq_2, s_2 = quantize_weight(w["w2"])
+    act_scales = tuple(float(a) / 127.0 for a in amax) if static_acts \
+        else None
+
+    out = fused_swin_block_windows(
+        xw.astype(jnp.bfloat16),
+        w["ln0_s"], w["ln0_b"],
+        wq_qkv, w["bqkv"].astype(jnp.bfloat16),
+        wq_proj, w["bproj"].astype(jnp.bfloat16),
+        w["ln1_s"], w["ln1_b"],
+        wq_1, w["b1"].astype(jnp.bfloat16),
+        wq_2, w["b2"].astype(jnp.bfloat16),
+        bias_pad, heads,
+        quant="static",
+        wscales=(s_qkv.reshape(-1), s_proj.reshape(-1),
+                 s_1.reshape(-1), s_2.reshape(-1)),
+        act_scales=act_scales,
+        interpret=True,
+    )
+
+    cos = _cos(np.asarray(out, np.float32).reshape(B, -1),
+               np.asarray(ref, np.float32).reshape(B, -1))
+    assert cos.min() > 0.995, (cos, nopad, static_acts)
+
+
+def test_sow_calibration_matches_oracle_amax():
+    """The sow-captured abs-max (models/swin.py XLA path) must equal the
+    fused-block oracle's return_act_amax on the same block — pins the
+    calibration statistic to exactly what the kernel quantizes."""
+    cfg = SwinConfig.micro(use_pallas=False)
+    model = SwinEncoder(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((2, 28, 28, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), img)["params"]
+
+    amax = calibrate_swin_act_amax(cfg, params, img, batch_size=2)
+    assert len(amax) == sum(cfg.depths)
+    arr = np.asarray(amax)
+    assert np.all(np.isfinite(arr)) and np.all(arr > 0)
+
+    # oracle cross-check on block 0: rebuild its inputs and compare amax
+    from mmrp_tpu.ops.window_attention import window_partition
+
+    b0 = params["stage0_block0"]
+    # recompute block 0's input by running patch-embed directly
+    from mmrp_tpu.models.swin import PatchEmbed
+
+    pe = PatchEmbed(cfg.embed_dim, cfg.patch_size, dtype=jnp.float32)
+    x0 = pe.apply({"params": params["patch_embed"]}, img)
+    ws = min(cfg.window_size, x0.shape[1])
+    xw = window_partition(x0, ws)
+    rel = b0["attn"]["rel_bias_table"]
+    bias_pad = build_bias_padded(rel, ws, x0.shape[1], x0.shape[2], 0)
+    _, amax0 = xla_equivalent(
+        xw,
+        b0["LayerNorm_0"]["scale"], b0["LayerNorm_0"]["bias"],
+        b0["attn"]["qkv"]["kernel"], b0["attn"]["qkv"]["bias"],
+        b0["attn"]["proj"]["kernel"], b0["attn"]["proj"]["bias"],
+        b0["LayerNorm_1"]["scale"], b0["LayerNorm_1"]["bias"],
+        b0["mlp"]["Dense_0"]["kernel"], b0["mlp"]["Dense_0"]["bias"],
+        b0["mlp"]["Dense_1"]["kernel"], b0["mlp"]["Dense_1"]["bias"],
+        bias_pad, num_heads=cfg.num_heads[0], return_act_amax=True)
+    np.testing.assert_allclose(
+        np.asarray(amax0), np.asarray(amax[0]), rtol=2e-3)
+
+
+def test_flagship_width_gate_int8_static(monkeypatch):
+    """Weak #4 closure: every Swin-B stage width (C=128/256/512/1024)
+    served through the static-int8 whole-block kernel vs the f32 XLA
+    reference — embedding cosine > 0.995 at the widths the headline bench
+    actually runs (stage 1 stays bf16, same as production: C < 256)."""
+    monkeypatch.setenv("MMRP_FORCE_PALLAS", "1")
+    base = SwinConfig(
+        embed_dim=128, depths=(1, 1, 1, 1), num_heads=(4, 8, 16, 32),
+        drop_path_rate=0.0, dropout=0.0, use_pallas=True,
+        pallas_stages=(False, True, True, True))
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.random((1, 224, 224, 3), dtype=np.float32))
+    calib = jnp.asarray(rng.random((2, 224, 224, 3), dtype=np.float32))
+
+    ref_cfg = dataclasses.replace(base, use_pallas=False,
+                                  pallas_stages=None)
+    ref_model = SwinEncoder(ref_cfg, dtype=jnp.float32)
+    params = ref_model.init(jax.random.PRNGKey(0), img)["params"]
+    ref = ref_model.apply({"params": params}, img)
+
+    amax = calibrate_swin_act_amax(base, params, calib, batch_size=2)
+
+    q_cfg = dataclasses.replace(base, quant="int8_static", act_amax=amax)
+    q_model = SwinEncoder(q_cfg, dtype=jnp.bfloat16)
+    out = q_model.apply({"params": params}, img)
+
+    cos_g = _cos(np.asarray(out["global"], np.float32),
+                 np.asarray(ref["global"], np.float32))
+    assert cos_g.min() > 0.995, cos_g
+    cos_p = _cos(
+        np.asarray(out["patches"], np.float32).reshape(1, -1),
+        np.asarray(ref["patches"], np.float32).reshape(1, -1))
+    assert cos_p.min() > 0.995, cos_p
+
+
+def test_act_amax_length_validated():
+    cfg = SwinConfig.micro(quant="int8_static",
+                           act_amax=((1.0, 1.0, 1.0, 1.0),) * 7)
+    model = SwinEncoder(cfg)
+    img = jnp.zeros((1, 28, 28, 3), jnp.float32)
+    with pytest.raises(ValueError, match="recalibrate"):
+        model.init(jax.random.PRNGKey(0), img)

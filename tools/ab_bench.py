@@ -15,7 +15,9 @@ Variants:
     fusion_int8     ... with W8A8 GEMMs (the serving default)
     swin            Swin-T encoder (current default path)
     swin_xla        Swin-T with use_pallas=False
-    swin_int8k      Swin-T with W8A8 whole-block GEMMs (measured worse)
+    swin_int8k      Swin-T with DYNAMIC W8A8 whole-block GEMMs (measured worse)
+    swin_int8s      ... STATIC W8A8 (pre-quantized weights + static act scales)
+    swin_int8sw     ... static weights, dynamic per-row act scales
     swin_stages_TTFF  per-stage pallas gating
     proj            projection layers + classifier head only
 
@@ -188,18 +190,33 @@ def main():
     elif variant.startswith("swin"):
         from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
 
-        # swin | swin_xla | swin_stages_TTFF | swin_int8k (quantized
-        # whole-block GEMMs at wide-C stages); AB_SWIN=tiny|small|base
+        # swin | swin_xla | swin_stages_TTFF | swin_int8k (DYNAMIC W8A8
+        # whole-block GEMMs at wide-C stages — measured loss) |
+        # swin_int8s (STATIC W8A8: pre-quantized weights + calibrated
+        # per-tensor act scales as constants; AB_ACT_AMAX sets the
+        # synthetic scale, irrelevant to speed) | swin_int8sw (static
+        # weights, dynamic per-row act scales); AB_SWIN=tiny|small|base
         # selects the encoder size (base = the Swin-B parity backbone)
         use_pallas = variant != "swin_xla"
         stages = None
         if "stages_" in variant:
             stages = tuple(c == "T" for c in variant.split("stages_")[1])
         size = os.environ.get("AB_SWIN", "tiny")
+        depths = (2, 2, 18, 2) if size in ("small", "base") else (2, 2, 6, 2)
+        if "int8s" in variant:
+            a = float(os.environ.get("AB_ACT_AMAX", "8.0"))
+            quant_kw = {"quant": "int8_static"}
+            if "int8sw" not in variant:
+                quant_kw["act_amax"] = tuple(
+                    (a,) * 4 for _ in range(sum(depths)))
+        elif "int8" in variant:
+            quant_kw = {"quant": "int8"}
+        else:
+            quant_kw = {}
         model = SwinEncoder(
             SwinConfig.from_name(f"swin_{size}",
                                  use_pallas=use_pallas, pallas_stages=stages,
-                                 quant="int8" if "int8" in variant else "none"),
+                                 **quant_kw),
             dtype=jnp.bfloat16)
         img = jnp.asarray(rng.random((B, 224, 224, 3), dtype=np.float32))
         params = model.init(jax.random.PRNGKey(0), img[:1])
