@@ -186,3 +186,49 @@ def test_act_amax_length_validated():
     img = jnp.zeros((1, 28, 28, 3), jnp.float32)
     with pytest.raises(ValueError, match="recalibrate"):
         model.init(jax.random.PRNGKey(0), img)
+
+
+def test_serve_quant_int8_static_config_wiring(tmp_path):
+    """Config.serve_quant='int8_static' + swin_act_amax_path must flow
+    through MultiModalConfig.from_config into the Swin tower (quant flag +
+    per-block act_amax from the artifact) and produce a finite forward."""
+    import jax
+
+    from mmrp_tpu.config import Config
+    from mmrp_tpu.models.multimodal import (
+        MultiModalConfig,
+        MultiModalRetrievalModel,
+    )
+    from mmrp_tpu.models.quant_calib import load_act_amax, save_act_amax
+
+    # swin_tiny has sum(depths)=12 blocks (from_config's non-flagship
+    # backbone); artifact round-trip via save/load
+    amax = tuple((4.0, 3.0, 6.0, 5.0) for _ in range(12))
+    path = tmp_path / "amax.json"
+    save_act_amax(str(path), amax)
+    assert load_act_amax(str(path)) == amax
+
+    cfg = Config(serve_quant="int8_static", swin_act_amax_path=str(path),
+                 image_size=224)
+    mm = MultiModalConfig.from_config(cfg, num_classes=7)
+    assert mm.swin.quant == "int8_static"
+    assert mm.swin.act_amax == amax
+    assert mm.text.quant == "int8_kernel"
+
+    # no-artifact flavor: dynamic per-row act scales, weights still static
+    cfg2 = Config(serve_quant="int8_static")
+    mm2 = MultiModalConfig.from_config(cfg2, num_classes=7)
+    assert mm2.swin.quant == "int8_static" and mm2.swin.act_amax is None
+
+
+def test_load_act_amax_rejects_bad_format(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from mmrp_tpu.models.quant_calib import load_act_amax
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"format": "other", "blocks": []}))
+    with _pytest.raises(ValueError, match="swin_act_amax_v1"):
+        load_act_amax(str(p))
