@@ -11,6 +11,7 @@ exposes them as subcommands with explicit flags:
     eval-ret    dual-gallery retrieval eval (retrieval_eval.py)
     kg-probe    KG embedding health checks (kg_check/diagnose/probe)
     serve       web demo (web/app.py)
+    calibrate   int8_static activation calibration (models/quant_calib.py)
     export-serving  package a run into a serialized serving artifact
     bench       run the benchmark
 """
@@ -193,6 +194,48 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_calibrate(args) -> int:
+    """Post-training activation calibration for serve_quant="int8_static":
+    run the trained Swin tower over real preprocessed DICOMs from the
+    run's records cache and write the per-block abs-max artifact that
+    build_demo_context auto-picks up (serve/runner.py). No reference
+    counterpart — the reference serves unquantized torch AMP
+    (src/Trainner/train.py); this enables the TPU int8 MXU rate."""
+    import numpy as np
+
+    from mmrp_tpu.models.quant_calib import (
+        calibrate_swin_act_amax,
+        save_act_amax,
+        swin_params_of,
+    )
+    from mmrp_tpu.serve.runner import build_demo_context
+
+    ctx = build_demo_context(args.run_dir, data_dir=args.data)
+    predictor, pp = ctx["predictor"], ctx["preprocessor"]
+    swin_cfg = predictor.model.config.swin
+    sp = swin_params_of(predictor.params)
+    if sp is None:
+        print("run's model has no Swin tower — nothing to calibrate",
+              file=sys.stderr)
+        return 2
+    recs = [r for r in ctx["records_by_id"].values() if r.get("dicom_path")]
+    recs = recs[: args.n]
+    if not recs:
+        print("no records with dicom_path in records_cache.json — run "
+              "`cli data` first (or pass --data)", file=sys.stderr)
+        return 2
+    images = np.stack([
+        np.transpose(pp.load(r["dicom_path"]), (1, 2, 0)) for r in recs
+    ]).astype(np.float32)
+    amax = calibrate_swin_act_amax(swin_cfg, sp, images,
+                                   batch_size=args.batch_size)
+    out = args.out or str(Path(args.run_dir) / "swin_act_amax.json")
+    save_act_amax(out, amax)
+    print(json.dumps({"artifact": out, "blocks": len(amax),
+                      "images": len(recs)}))
+    return 0
+
+
 def cmd_export_serving(args) -> int:
     from mmrp_tpu.serve.exported import export_run
 
@@ -301,6 +344,19 @@ def main(argv=None) -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=None)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser(
+        "calibrate",
+        help="int8_static activation calibration over run DICOMs "
+             "(writes swin_act_amax.json into the run dir)",
+    )
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--data", default=None, help="data pipeline output dir")
+    p.add_argument("-n", type=int, default=64, help="calibration images")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--out", default=None,
+                   help="artifact path (default RUN/swin_act_amax.json)")
+    p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser(
         "export-serving",

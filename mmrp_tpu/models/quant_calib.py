@@ -123,8 +123,10 @@ def load_act_amax(path: str) -> AmaxTree:
 def swin_params_of(variables) -> Optional[dict]:
     """Extract the Swin param subtree from MultiModalRetrievalModel
     variables (models/multimodal.py:174,382 — Backbones names the Swin
-    tower 'swin' under 'backbones')."""
+    tower 'swin' under 'backbones'). Accepts raw trees, {"params": ...},
+    and the serving {"model": ...} wrapper (api.py::serving_forward)."""
     p = variables.get("params", variables)
+    p = p.get("model", p) if hasattr(p, "get") else p
     for path in (("backbones", "swin"), ("swin",)):
         sub = p
         ok = True

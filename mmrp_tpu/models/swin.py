@@ -418,7 +418,7 @@ class SwinBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, collect: bool = False):
         ln0_s, ln0_b = LnParams(name="LayerNorm_0")(self.dim)
 
         # Whole-block fused path (serving/eval): LN0+qkv+attn+proj+residual
@@ -428,6 +428,56 @@ class SwinBlock(nn.Module):
         # WindowAttention; LnParams/MlpParams are shared declarations).
         H_, W_ = self.input_resolution
         ws = self.window_size
+
+        if collect:
+            # Stage-pair mode (ops/fused_swin_pair.py): declare the SAME
+            # param tree as the fused/unfused paths and hand the raw
+            # kernel inputs back to SwinEncoder, which runs this block and
+            # its shifted partner in ONE pallas program. No compute here.
+            from mmrp_tpu.ops.fused_swin_block import build_bias_padded
+
+            rel_table, (qkv_k, qkv_b), (proj_k, proj_b) = WinAttnParams(
+                self.dim, self.num_heads, ws, name="attn")()
+            ln1_s, ln1_b = LnParams(name="LayerNorm_1")(self.dim)
+            hidden = int(self.dim * self.mlp_ratio)
+            (w1, b1), (w2, b2) = MlpParams(hidden, self.dim, name="mlp")()
+            shift = self.shift if min(H_, W_) > ws else 0
+            out = {
+                "bias_pad": build_bias_padded(rel_table, ws, H_, W_, shift),
+                "shift": shift,
+                "wscales": None,
+                "act_scales": None,
+            }
+            if self.quant == "int8_static":
+                from mmrp_tpu.ops.quant import quantize_weight
+
+                wq_qkv, s_qkv = quantize_weight(qkv_k)
+                wq_proj, s_proj = quantize_weight(proj_k)
+                wq_1, s_1 = quantize_weight(w1)
+                wq_2, s_2 = quantize_weight(w2)
+                out["blk"] = (
+                    ln0_s.astype(jnp.float32), ln0_b.astype(jnp.float32),
+                    wq_qkv, qkv_b.astype(self.dtype),
+                    wq_proj, proj_b.astype(self.dtype),
+                    ln1_s.astype(jnp.float32), ln1_b.astype(jnp.float32),
+                    wq_1, b1.astype(self.dtype),
+                    wq_2, b2.astype(self.dtype),
+                )
+                out["wscales"] = (s_qkv.reshape(-1), s_proj.reshape(-1),
+                                  s_1.reshape(-1), s_2.reshape(-1))
+                if self.act_amax is not None:
+                    out["act_scales"] = tuple(
+                        float(a) / 127.0 for a in self.act_amax)
+            else:
+                out["blk"] = (
+                    ln0_s.astype(jnp.float32), ln0_b.astype(jnp.float32),
+                    qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
+                    proj_k.astype(self.dtype), proj_b.astype(self.dtype),
+                    ln1_s.astype(jnp.float32), ln1_b.astype(jnp.float32),
+                    w1.astype(self.dtype), b1.astype(self.dtype),
+                    w2.astype(self.dtype), b2.astype(self.dtype),
+                )
+            return out
         # Whole-block kernel only at wide C — back-to-back A/B on the chip
         # (tools/ab_bench.py swin): all-stage pad flavor 27.9 ms, per-window
         # +MLP flavor at stages 1/2 31.4 ms, OLD path 27.5-27.7 ms, and
@@ -641,7 +691,65 @@ class SwinEncoder(nn.Module):
                     f"window {ws} — pick img_size/depths whose per-stage "
                     f"maps are window-aligned"
                 )
-            for blk in range(depth):
+            # Stage-pair routing (ops/fused_swin_pair.py): run each
+            # W-MSA + SW-MSA pair in ONE pallas program where the pair's
+            # VMEM footprint fits (Swin-B stage 2) — the map stays in VMEM
+            # across both blocks, removing the inter-block HBM round trip
+            # and the roll/partition/reverse copies (VERDICT r4 #6).
+            from mmrp_tpu.ops.fused_swin_pair import (
+                fused_swin_block_pair,
+                pair_vmem_ok,
+            )
+
+            use_pair = (
+                os.environ.get("MMRP_SWIN_PAIR", "1") == "1"
+                and stage_pallas
+                and deterministic
+                and _pallas_backend()
+                and os.environ.get("MMRP_SWIN_WHOLE", "1") == "1"
+                and cfg.quant != "int8"     # dynamic int8: measured loss
+                and dim >= int(os.environ.get("MMRP_SWIN_WHOLE_MINC", "256"))
+                and res > ws and res % ws == 0
+                and pair_vmem_ok(dim, res, res, cfg.num_heads[stage], ws,
+                                 cfg.mlp_ratio)
+            )
+
+            def _mk(blk, ddim=dim, sstage=stage, wws=ws, rres=res):
+                return SwinBlock(
+                    dim=ddim,
+                    num_heads=cfg.num_heads[sstage],
+                    window_size=wws,
+                    shift=0 if blk % 2 == 0 else wws // 2,
+                    input_resolution=(rres, rres),
+                    mlp_ratio=cfg.mlp_ratio,
+                    drop_path=float(dpr[block_idx + (blk % 2)]),
+                    dropout=cfg.dropout,
+                    use_pallas=stage_pallas,
+                    quant=cfg.quant,
+                    act_amax=(cfg.act_amax[block_idx + (blk % 2)]
+                              if cfg.act_amax is not None else None),
+                    dtype=self.dtype,
+                    name=f"stage{sstage}_block{blk}",
+                )
+
+            blk = 0
+            while blk < depth:
+                if use_pair and blk % 2 == 0 and blk + 1 < depth:
+                    c0 = _mk(blk)(x, deterministic, True)
+                    c1 = _mk(blk + 1)(x, deterministic, True)
+                    x = fused_swin_block_pair(
+                        x, c0["blk"], c0["bias_pad"],
+                        c1["blk"], c1["bias_pad"],
+                        cfg.num_heads[stage], ws, c1["shift"],
+                        quant=("static" if cfg.quant == "int8_static"
+                               else False),
+                        wscales0=c0["wscales"], wscales1=c1["wscales"],
+                        act_scales0=c0["act_scales"],
+                        act_scales1=c1["act_scales"],
+                    )
+                    blk += 2
+                    block_idx += 2
+                    continue
                 x = block_cls(
                     dim=dim,
                     num_heads=cfg.num_heads[stage],
@@ -658,6 +766,7 @@ class SwinEncoder(nn.Module):
                     dtype=self.dtype,
                     name=f"stage{stage}_block{blk}",
                 )(x, deterministic)
+                blk += 1
                 block_idx += 1
             if stage < len(cfg.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"merge{stage}")(x)

@@ -97,6 +97,12 @@ def build_demo_context(run_dir: str, data_dir: str = None) -> Dict[str, Any]:
                  if k not in ("quant", "remat")}
         if tdict:
             text_override = TextConfig(**tdict)
+    # int8_static serving: auto-pick the calibration artifact written by
+    # `cli calibrate` when the config doesn't name one explicitly
+    if (getattr(cfg, "serve_quant", "none") == "int8_static"
+            and not getattr(cfg, "swin_act_amax_path", None)
+            and (run / "swin_act_amax.json").exists()):
+        cfg.swin_act_amax_path = str(run / "swin_act_amax.json")
     mm_cfg = MultiModalConfig.from_config(cfg, num_classes=len(LABEL_COLS),
                                           flagship=flagship,
                                           text_override=text_override)

@@ -116,6 +116,18 @@ def test_data_cli_and_training_pipeline(fixture_dirs, tmp_path_factory):
     ctx = build_demo_context(str(out / "train"))
     # per-class calibrated thresholds reach the predictor (train.py:620-704)
     assert np.asarray(ctx["predictor"].threshold).shape == (len(LABEL_COLS),)
+
+    # ---- int8_static activation calibration over the trained run ----------
+    rc = cli_main([
+        "calibrate", "--run-dir", str(out / "train"), "--data", str(out),
+        "-n", "8", "--batch-size", "4",
+    ])
+    assert rc == 0
+    from mmrp_tpu.models.quant_calib import load_act_amax
+
+    amax = load_act_amax(str(out / "train" / "swin_act_amax.json"))
+    assert len(amax) == sum(ctx["predictor"].model.config.swin.depths)
+    assert all(all(v > 0 for v in row) for row in amax)
     server = serve(lambda: ctx, port=0, block=False)
     port = server.server_address[1]
     try:

@@ -1,0 +1,180 @@
+"""Stage-pair kernel (ops/fused_swin_pair.py): oracle parity, static-int8
+fidelity, encoder routing equivalence, and gradient correctness.
+
+The pair kernel must be bit-compatible (up to f32 reassociation) with the
+sequential two-block execution it replaces: block0 -> roll(-s) -> block1
+-> roll(+s) (models/swin.py::SwinBlock whole-block path; reference
+semantics: timm swin consumed via /root/reference/src/Model/fusion.py:92).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmrp_tpu.ops.fused_swin_block import build_bias_padded
+from mmrp_tpu.ops.fused_swin_pair import (
+    _xla_pair,
+    fused_swin_block_pair,
+    pair_vmem_ok,
+)
+from mmrp_tpu.ops.quant import quantize_weight
+
+
+def _block(rng, C, hidden):
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    return (
+        jnp.ones((C,), jnp.float32), mk(C) * 0.02,        # ln0
+        mk(C, 3 * C) * 0.05, mk(3 * C) * 0.02,            # qkv
+        mk(C, C) * 0.05, mk(C) * 0.02,                    # proj
+        jnp.ones((C,), jnp.float32), mk(C) * 0.02,        # ln1
+        mk(C, hidden) * 0.05, mk(hidden) * 0.02,          # mlp1
+        mk(hidden, C) * 0.05, mk(C) * 0.02,               # mlp2
+    )
+
+
+def _geom(rng, C=256, H=28, heads=8):
+    ws = 7
+    shift = ws // 2
+    hidden = 4 * C
+    b0 = _block(rng, C, hidden)
+    b1 = _block(rng, C, hidden)
+    rel0 = jnp.asarray(
+        rng.standard_normal(((2 * ws - 1) ** 2, heads)).astype(np.float32))
+    rel1 = jnp.asarray(
+        rng.standard_normal(((2 * ws - 1) ** 2, heads)).astype(np.float32))
+    bias0 = build_bias_padded(rel0, ws, H, H, 0)
+    bias1 = build_bias_padded(rel1, ws, H, H, shift)
+    x = jnp.asarray(rng.standard_normal((2, H, H, C)).astype(np.float32))
+    return x, b0, bias0, b1, bias1, ws, shift, heads
+
+
+def test_pair_kernel_matches_sequential_oracle():
+    rng = np.random.default_rng(0)
+    x, b0, bias0, b1, bias1, ws, shift, heads = _geom(rng)
+    ref = _xla_pair(x, b0, bias0, b1, bias1, num_heads=heads, eps=1e-6,
+                    ws=ws, shift=shift)
+    got = fused_swin_block_pair(x, b0, bias0, b1, bias1, heads, ws, shift,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pair_kernel_static_int8_fidelity():
+    rng = np.random.default_rng(1)
+    x, b0, bias0, b1, bias1, ws, shift, heads = _geom(rng)
+    ref = _xla_pair(x, b0, bias0, b1, bias1, num_heads=heads, eps=1e-6,
+                    ws=ws, shift=shift)
+
+    def q(blk):
+        wq, scales = [], []
+        out = list(blk)
+        for i in (2, 4, 8, 10):
+            wqi, si = quantize_weight(blk[i])
+            out[i] = wqi
+            scales.append(si.reshape(-1))
+        return tuple(out), tuple(scales)
+
+    qb0, s0 = q(b0)
+    qb1, s1 = q(b1)
+    got = fused_swin_block_pair(
+        x.astype(jnp.bfloat16),
+        tuple(a.astype(jnp.bfloat16) if a.dtype == jnp.float32
+              and i not in (0, 1, 6, 7) else a for i, a in enumerate(qb0)),
+        bias0,
+        tuple(a.astype(jnp.bfloat16) if a.dtype == jnp.float32
+              and i not in (0, 1, 6, 7) else a for i, a in enumerate(qb1)),
+        bias1, heads, ws, shift,
+        quant="static", wscales0=s0, wscales1=s1, interpret=True)
+    a = np.asarray(got, np.float32).reshape(2, -1)
+    r = np.asarray(ref, np.float32).reshape(2, -1)
+    cos = (a * r).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(r, axis=-1) + 1e-12)
+    assert cos.min() > 0.995, cos
+
+
+def test_pair_kernel_gradients_match_oracle():
+    rng = np.random.default_rng(2)
+    # smaller geometry keeps the interpret-mode VJP fast
+    x, b0, bias0, b1, bias1, ws, shift, heads = _geom(rng, C=64, H=14,
+                                                      heads=4)
+
+    def loss_pair(x_):
+        out = fused_swin_block_pair(x_, b0, bias0, b1, bias1, heads, ws,
+                                    shift, interpret=True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(x_):
+        out = _xla_pair(x_, b0, bias0, b1, bias1, num_heads=heads,
+                        eps=1e-6, ws=ws, shift=shift)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g_pair = jax.grad(loss_pair)(x)
+    g_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_pair), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_encoder_pair_routing_matches_unpaired(monkeypatch):
+    """SwinEncoder with MMRP_SWIN_PAIR=1 must equal the sequential
+    whole-block path (same params) on a pair-eligible stage."""
+    from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
+
+    monkeypatch.setenv("MMRP_FORCE_PALLAS", "1")
+    cfg = SwinConfig(img_size=56, patch_size=4, embed_dim=256,
+                     depths=(2,), num_heads=(8,), window_size=7,
+                     drop_path_rate=0.0, dropout=0.0, use_pallas=True)
+    assert pair_vmem_ok(256, 14, 14, 8, 7)
+    model = SwinEncoder(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((2, 56, 56, 3), dtype=np.float32))
+
+    monkeypatch.setenv("MMRP_SWIN_PAIR", "0")
+    params = model.init(jax.random.PRNGKey(0), img)["params"]
+    ref = model.apply({"params": params}, img)
+
+    monkeypatch.setenv("MMRP_SWIN_PAIR", "1")
+    params2 = model.init(jax.random.PRNGKey(0), img)["params"]
+    # identical param TREES (pairing must not change checkpoint layout)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params2)
+    got = model.apply({"params": params}, img)
+
+    np.testing.assert_allclose(np.asarray(got["global"]),
+                               np.asarray(ref["global"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got["patches"]),
+                               np.asarray(ref["patches"]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pair_vmem_gate():
+    # Swin-B stage 2 fits; stages 3/4 do not (weights alone exceed budget)
+    assert pair_vmem_ok(256, 28, 28, 8, 7)
+    assert not pair_vmem_ok(512, 14, 14, 16, 7)
+    assert not pair_vmem_ok(1024, 7, 7, 32, 7)
+
+
+def test_odd_depth_leaves_tail_block_sequential(monkeypatch):
+    """depth=3: blocks 0-1 pair, block 2 runs the sequential path — the
+    composite must still match the fully-sequential execution."""
+    from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
+
+    monkeypatch.setenv("MMRP_FORCE_PALLAS", "1")
+    cfg = SwinConfig(img_size=56, patch_size=4, embed_dim=256,
+                     depths=(3,), num_heads=(8,), window_size=7,
+                     drop_path_rate=0.0, dropout=0.0, use_pallas=True)
+    model = SwinEncoder(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((1, 56, 56, 3), dtype=np.float32))
+
+    monkeypatch.setenv("MMRP_SWIN_PAIR", "0")
+    params = model.init(jax.random.PRNGKey(0), img)["params"]
+    ref = model.apply({"params": params}, img)
+    monkeypatch.setenv("MMRP_SWIN_PAIR", "1")
+    got = model.apply({"params": params}, img)
+    np.testing.assert_allclose(np.asarray(got["global"]),
+                               np.asarray(ref["global"]),
+                               rtol=2e-4, atol=2e-4)
