@@ -12,11 +12,15 @@ metric name). Baseline: the driver-set north star of 5,000 pairs/sec/chip
 (BASELINE.json).
 
 Default serving precision is the measured optimum mix (tools/ab_bench.py):
-bf16 fused Pallas kernels for the BW-bound attention blocks + W8A8 int8
-GEMMs (ops/quant.py) for the FLOP-bound fusion stack and BERT FFN — the
-analog of the reference's fp16 AMP serving, fidelity-gated by
-tests/test_quant_model.py (embedding cosine > 0.995, stable retrieval
-order). BENCH_QUANT=none selects pure bf16.
+bf16 fused Pallas attention + W8A8 int8 GEMMs (ops/quant.py) for the
+FLOP-bound fusion stack and BERT FFN + STATIC-scale W8A8 inside the Swin
+whole-block/pair kernels (round 4: pre-quantized weights + calibrated
+per-tensor activation scales, models/quant_calib.py — back-to-back
+Swin-B encoder −4.1% where dynamic quant lost +9.5%) — the analog of the
+reference's fp16 AMP serving, fidelity-gated by tests/test_quant_model.py
+and tests/test_quant_static.py (embedding cosine > 0.995 at every Swin-B
+stage width, stable retrieval order). BENCH_QUANT=int8 restores the
+round-3 mix (Swin bf16); =none selects pure bf16.
 
 Timing methodology: the remote-execution tunnel used for this TPU neither
 honors block_until_ready nor re-executes deduplicated dispatches, so naive
@@ -73,7 +77,7 @@ def _build_model(use_pallas: bool, text_len: int, swin_name: str = None):
     # tests/test_quant_static.py). Act-scale values do not affect speed,
     # so the bench uses a constant (BENCH_ACT_AMAX, default 8.0); real
     # serving calibrates via models/quant_calib.py.
-    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = os.environ.get("BENCH_QUANT", "int8_swins")
     swin_kw = {}
     if quant == "int8_swins":
         depths = {"tiny": (2, 2, 6, 2), "small": (2, 2, 18, 2),
@@ -231,8 +235,9 @@ def main() -> None:
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     key = "pallas" if use_pallas else "xla"
 
-    quant = os.environ.get("BENCH_QUANT", "int8")
-    dtype_tag = "int8-serve" if quant.startswith("int8") else "bf16"
+    quant = os.environ.get("BENCH_QUANT", "int8_swins")
+    dtype_tag = ("int8s-serve" if quant == "int8_swins"
+                 else "int8-serve" if quant.startswith("int8") else "bf16")
     details = {"backend": backend, "swin": swin_name, "batch": batch,
                "text_len": text_len, "attention_path": key, "quant": quant,
                "method": "chained-scan, scalar fetch"}

@@ -711,7 +711,9 @@ class SwinEncoder(nn.Module):
                 and dim >= int(os.environ.get("MMRP_SWIN_WHOLE_MINC", "256"))
                 and res > ws and res % ws == 0
                 and pair_vmem_ok(dim, res, res, cfg.num_heads[stage], ws,
-                                 cfg.mlp_ratio)
+                                 cfg.mlp_ratio,
+                                 weight_bytes=(1 if cfg.quant ==
+                                               "int8_static" else 2))
             )
 
             def _mk(blk, ddim=dim, sstage=stage, wws=ws, rres=res):

@@ -50,14 +50,24 @@ except ImportError:  # pragma: no cover
 
 def pair_vmem_ok(C: int, H: int, W: int, num_heads: int, ws: int,
                  mlp_ratio: float = 4.0,
-                 budget_bytes: int = 12 * 1024 * 1024) -> bool:
+                 budget_bytes: int = 12 * 1024 * 1024,
+                 weight_bytes: int = 2) -> bool:
     """Conservative VMEM feasibility check for one (ib=1) pair program:
     map + both blocks' weights + both bias tables + the largest live
-    intermediates (qkv rows + one head's f32 scores + hidden rows)."""
+    intermediates (qkv rows + one head's f32 scores + hidden rows).
+
+    ``weight_bytes``: 2 for bf16 weights, 1 for the static-int8 flavor —
+    pre-quantized weights halve the resident footprint, which is exactly
+    what makes the Swin-B C=512 stage (18 blocks, the largest single op
+    group in the serving trace) pair-eligible under int8 while its bf16
+    pair (12.6 MB of weights alone) is not (~16 MB VMEM/core)."""
     hidden = int(C * mlp_ratio)
     nW = (H // ws) * (W // ws)
     N = ws * ws
-    wbytes = 2 * 2 * (3 * C * C + C * C + 2 * C * hidden)  # bf16, 2 blocks
+    per_block = 3 * C * C + C * C + 2 * C * hidden
+    wbytes = 2 * weight_bytes * per_block                  # 2 blocks
+    if weight_bytes == 1:                                  # dequant scales
+        wbytes += 2 * 4 * (3 * C + C + hidden + C)
     bias = 2 * 4 * nW * num_heads * N * N                  # f32
     xmap = 2 * H * W * C * 3                               # in/out/mid bf16
     inter = 2 * nW * N * 3 * C + 4 * nW * N * N + 2 * nW * N * hidden

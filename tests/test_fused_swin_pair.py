@@ -62,9 +62,11 @@ def test_pair_kernel_matches_sequential_oracle():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_pair_kernel_static_int8_fidelity():
+@pytest.mark.parametrize("C,H,heads", [(256, 28, 8), (512, 14, 16)])
+def test_pair_kernel_static_int8_fidelity(C, H, heads):
     rng = np.random.default_rng(1)
-    x, b0, bias0, b1, bias1, ws, shift, heads = _geom(rng)
+    x, b0, bias0, b1, bias1, ws, shift, heads = _geom(rng, C=C, H=H,
+                                                      heads=heads)
     ref = _xla_pair(x, b0, bias0, b1, bias1, num_heads=heads, eps=1e-6,
                     ws=ws, shift=shift)
 
@@ -151,10 +153,15 @@ def test_encoder_pair_routing_matches_unpaired(monkeypatch):
 
 
 def test_pair_vmem_gate():
-    # Swin-B stage 2 fits; stages 3/4 do not (weights alone exceed budget)
+    # bf16: Swin-B C=256 fits; C=512/1024 exceed the budget
     assert pair_vmem_ok(256, 28, 28, 8, 7)
     assert not pair_vmem_ok(512, 14, 14, 16, 7)
     assert not pair_vmem_ok(1024, 7, 7, 32, 7)
+    # static int8 halves the resident weights: C=512 becomes eligible
+    # (the 18-block Swin-B stage, the serving trace's largest op group);
+    # C=1024 still does not fit
+    assert pair_vmem_ok(512, 14, 14, 16, 7, weight_bytes=1)
+    assert not pair_vmem_ok(1024, 7, 7, 32, 7, weight_bytes=1)
 
 
 def test_odd_depth_leaves_tail_block_sequential(monkeypatch):
