@@ -22,6 +22,19 @@ from mmrp_tpu.retrieval.gallery import RetrievalEngine
 from mmrp_tpu.retrieval.rerank import Reranker
 
 
+def serving_variables(params) -> Dict[str, Any]:
+    """Serving params blob -> flax variables dict. Accepts a raw param
+    tree or {"model": tree[, "quant_cache": cache]} — the optional cache
+    carries pre-quantized int8 Swin weights (models/quant_calib.py::
+    build_quant_cache) so dispatch-per-batch serving never re-quantizes."""
+    if hasattr(params, "get") and "model" in params:
+        variables = {"params": params["model"]}
+        if "quant_cache" in params:
+            variables["quant_cache"] = params["quant_cache"]
+        return variables
+    return {"params": params}
+
+
 def serving_forward(model: MultiModalRetrievalModel):
     """The serving forward contract: params (raw tree or {"model": tree})
     + (image, ids, mask) -> {probs, joint_emb, img_emb, txt_emb}.
@@ -33,7 +46,7 @@ def serving_forward(model: MultiModalRetrievalModel):
 
     def fwd(params, image, ids, mask):
         out = model.apply(
-            {"params": params["model"]} if "model" in params else {"params": params},
+            serving_variables(params),
             image, ids, mask, deterministic=True,
         )
         return {
@@ -59,6 +72,18 @@ class MMRPredictor:
         # threshold may be a scalar or the per-class calibrated vector the
         # trainer saves (thresholds.npy; reference train.py:620-704)
         self.model = model
+        # int8_static serving: pre-quantize the Swin weights ONCE here so
+        # per-request dispatches skip the in-graph weight quantization
+        # (models/quant_calib.py::build_quant_cache)
+        sw = getattr(getattr(model, "config", None), "swin", None)
+        if (sw is not None and getattr(sw, "quant", "none") == "int8_static"
+                and hasattr(params, "get") and "model" in params
+                and "quant_cache" not in params):
+            from mmrp_tpu.models.quant_calib import build_quant_cache
+
+            qc = build_quant_cache(params["model"])
+            if qc:
+                params = {**params, "quant_cache": qc}
         self.params = params
         self.label_names = list(label_names)
         self.retriever = retriever

@@ -120,6 +120,57 @@ def load_act_amax(path: str) -> AmaxTree:
     return tuple(tuple(float(v) for v in row) for row in doc["blocks"])
 
 
+def build_quant_cache(params) -> dict:
+    """Pre-quantize every Swin block's GEMM weights ONCE, outside jit.
+
+    The SwinBlock static-int8 branch quantizes inline when no cache is
+    provided — XLA hoists that out of chained-scan loops (bench paths),
+    but a dispatch-per-batch serving loop re-runs it every call (~2.6 ms
+    at Swin-B widths: one VPU pass + int8 write over ~87 M weights).
+    This walks the param tree, quantizes with the SAME ops/quant.py
+    scheme, and returns a collection tree aligned with the model's module
+    scopes, ready to pass as
+    ``model.apply({"params": p, "quant_cache": cache}, ...)`` —
+    api.py::serving_variables wires it automatically for serving.
+
+    Returns {} when the tree contains no Swin blocks.
+    """
+    from mmrp_tpu.ops.quant import quantize_weight
+
+    def is_block(node) -> bool:
+        return (hasattr(node, "keys")
+                and "attn" in node and "mlp" in node
+                and hasattr(node["attn"], "keys")
+                and "qkv" in node["attn"] and "proj" in node["attn"]
+                and "Dense_0" in node.get("mlp", {}))
+
+    def walk(node):
+        if not hasattr(node, "keys"):
+            return None
+        if is_block(node):
+            out = {}
+            for name, w in (
+                ("qkv", node["attn"]["qkv"]["kernel"]),
+                ("proj", node["attn"]["proj"]["kernel"]),
+                ("mlp1", node["mlp"]["Dense_0"]["kernel"]),
+                ("mlp2", node["mlp"]["Dense_1"]["kernel"]),
+            ):
+                wq, s = quantize_weight(jnp.asarray(w))
+                out[f"wq_{name}"] = wq
+                out[f"s_{name}"] = s
+            return out
+        sub = {}
+        for k, v in node.items():
+            r = walk(v)
+            if r:
+                sub[k] = r
+        return sub or None
+
+    p = params.get("params", params) if hasattr(params, "get") else params
+    p = p.get("model", p) if hasattr(p, "get") else p
+    return walk(p) or {}
+
+
 def swin_params_of(variables) -> Optional[dict]:
     """Extract the Swin param subtree from MultiModalRetrievalModel
     variables (models/multimodal.py:174,382 — Backbones names the Swin

@@ -417,6 +417,24 @@ class SwinBlock(nn.Module):
     act_amax: Optional[Tuple[float, float, float, float]] = None
     dtype: jnp.dtype = jnp.float32
 
+    def _static_qweights(self, qkv_k, proj_k, w1, w2):
+        """int8 weights + per-out-channel scales for quant="int8_static".
+
+        Reads the ``quant_cache`` collection when the caller provides one
+        (built ONCE outside jit by models/quant_calib.build_quant_cache —
+        dispatch-per-batch serving then pays zero re-quantization); falls
+        back to inline quantization, which XLA hoists out of chained-scan
+        bench loops but re-runs per dispatch (~2.6 ms at Swin-B widths).
+        """
+        if self.has_variable("quant_cache", "wq_qkv"):
+            g = lambda n: self.get_variable("quant_cache", n)  # noqa: E731
+            return ((g("wq_qkv"), g("s_qkv")), (g("wq_proj"), g("s_proj")),
+                    (g("wq_mlp1"), g("s_mlp1")), (g("wq_mlp2"), g("s_mlp2")))
+        from mmrp_tpu.ops.quant import quantize_weight
+
+        return (quantize_weight(qkv_k), quantize_weight(proj_k),
+                quantize_weight(w1), quantize_weight(w2))
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True, collect: bool = False):
         ln0_s, ln0_b = LnParams(name="LayerNorm_0")(self.dim)
@@ -449,12 +467,9 @@ class SwinBlock(nn.Module):
                 "act_scales": None,
             }
             if self.quant == "int8_static":
-                from mmrp_tpu.ops.quant import quantize_weight
-
-                wq_qkv, s_qkv = quantize_weight(qkv_k)
-                wq_proj, s_proj = quantize_weight(proj_k)
-                wq_1, s_1 = quantize_weight(w1)
-                wq_2, s_2 = quantize_weight(w2)
+                ((wq_qkv, s_qkv), (wq_proj, s_proj),
+                 (wq_1, s_1), (wq_2, s_2)) = self._static_qweights(
+                    qkv_k, proj_k, w1, w2)
                 out["blk"] = (
                     ln0_s.astype(jnp.float32), ln0_b.astype(jnp.float32),
                     wq_qkv, qkv_b.astype(self.dtype),
@@ -524,12 +539,9 @@ class SwinBlock(nn.Module):
                 # floats — removes the dynamic scheme's per-grid-program
                 # weight re-quant and abs-max passes (docs/ROOFLINE.md §6).
                 # Windows flavor only (MMRP_SWIN_RAW does not apply).
-                from mmrp_tpu.ops.quant import quantize_weight
-
-                wq_qkv, s_qkv = quantize_weight(qkv_k)
-                wq_proj, s_proj = quantize_weight(proj_k)
-                wq_1, s_1 = quantize_weight(w1)
-                wq_2, s_2 = quantize_weight(w2)
+                ((wq_qkv, s_qkv), (wq_proj, s_proj),
+                 (wq_1, s_1), (wq_2, s_2)) = self._static_qweights(
+                    qkv_k, proj_k, w1, w2)
                 act_scales = (
                     tuple(float(a) / 127.0 for a in self.act_amax)
                     if self.act_amax is not None else None)
@@ -709,6 +721,12 @@ class SwinEncoder(nn.Module):
                 and os.environ.get("MMRP_SWIN_WHOLE", "1") == "1"
                 and cfg.quant != "int8"     # dynamic int8: measured loss
                 and dim >= int(os.environ.get("MMRP_SWIN_WHOLE_MINC", "256"))
+                # C=512 pairs fit VMEM under static-int8 weights but are a
+                # MEASURED loss on-chip (Swin-B B=64 back-to-back: 25.74 ms
+                # with C=256-only pairs vs 27.69 ms adding the C=512 stage,
+                # +7.5% — the 784-row GEMM tiles at C=512 trade worse than
+                # the saved inter-block HBM trips). Opt-in via env only.
+                and dim <= int(os.environ.get("MMRP_SWIN_PAIR_MAXC", "256"))
                 and res > ws and res % ws == 0
                 and pair_vmem_ok(dim, res, res, cfg.num_heads[stage], ws,
                                  cfg.mlp_ratio,

@@ -82,8 +82,10 @@ class StreamingPipeline:
                     x = x[..., None]
                 if x.shape[-1] == 1:
                     x = jnp.repeat(x, 3, axis=-1)
+            from mmrp_tpu.api import serving_variables
+
             out = model.apply(
-                {"params": params["model"]} if "model" in params else {"params": params},
+                serving_variables(params),
                 x, ids, mask, deterministic=True,
             )
             return {

@@ -232,3 +232,62 @@ def test_load_act_amax_rejects_bad_format(tmp_path):
     p.write_text(json.dumps({"format": "other", "blocks": []}))
     with _pytest.raises(ValueError, match="swin_act_amax_v1"):
         load_act_amax(str(p))
+
+
+def test_quant_cache_matches_inline_quantization(monkeypatch):
+    """models/quant_calib.build_quant_cache: serving with the precomputed
+    int8 cache must produce bit-identical outputs to inline in-graph
+    quantization (same ops/quant.py scheme), with int8 leaves."""
+    import jax.numpy as jnp
+
+    from mmrp_tpu.models.quant_calib import build_quant_cache
+    from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
+
+    monkeypatch.setenv("MMRP_FORCE_PALLAS", "1")
+    cfg = SwinConfig(img_size=56, patch_size=4, embed_dim=256,
+                     depths=(2,), num_heads=(8,), window_size=7,
+                     drop_path_rate=0.0, dropout=0.0, use_pallas=True,
+                     quant="int8_static",
+                     act_amax=((4.0, 4.0, 6.0, 5.0),) * 2)
+    model = SwinEncoder(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((1, 56, 56, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), img)["params"]
+
+    inline = model.apply({"params": params}, img)
+    cache = build_quant_cache(params)
+    assert cache, "no swin blocks found by build_quant_cache"
+    leaf = cache["stage0_block0"]["wq_qkv"]
+    assert leaf.dtype == jnp.int8
+    cached = model.apply({"params": params, "quant_cache": cache}, img)
+    np.testing.assert_array_equal(np.asarray(cached["global"], np.float32),
+                                  np.asarray(inline["global"], np.float32))
+
+
+def test_predictor_builds_quant_cache():
+    """MMRPredictor with serve_quant=int8_static params must auto-attach
+    the pre-quantized cache (api.py) so per-request dispatches skip the
+    in-graph weight quantization."""
+    import jax.numpy as jnp
+
+    from mmrp_tpu.api import MMRPredictor
+    from mmrp_tpu.config import Config
+    from mmrp_tpu.models.multimodal import (
+        MultiModalConfig,
+        MultiModalRetrievalModel,
+    )
+
+    cfg = Config(serve_quant="int8_static", image_size=28,
+                 image_backbone="swin_micro", joint_dim=32,
+                 num_fusion_layers=1, num_heads=2, text_dim=16)
+    mm = MultiModalConfig.from_config(cfg, num_classes=5)
+    model = MultiModalRetrievalModel(mm)
+    img = jnp.zeros((1, 28, 28, 3), jnp.float32)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), img, ids, mask)["params"]
+    pred = MMRPredictor(model, {"model": params}, [f"l{i}" for i in range(5)])
+    assert "quant_cache" in pred.params
+    out = pred.embed(np.zeros((1, 28, 28, 3), np.float32),
+                     np.zeros((1, 8), np.int32), np.ones((1, 8), np.int32))
+    assert np.isfinite(out["probs"]).all()
