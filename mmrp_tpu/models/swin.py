@@ -709,6 +709,8 @@ class SwinEncoder(nn.Module):
             # across both blocks, removing the inter-block HBM round trip
             # and the roll/partition/reverse copies (VERDICT r4 #6).
             from mmrp_tpu.ops.fused_swin_pair import (
+                chain_vmem_ok,
+                fused_swin_block_chain,
                 fused_swin_block_pair,
                 pair_vmem_ok,
             )
@@ -734,7 +736,36 @@ class SwinEncoder(nn.Module):
                                                "int8_static" else 2))
             )
 
-            def _mk(blk, ddim=dim, sstage=stage, wws=ws, rres=res):
+            # Roll-chain routing (ops/fused_swin_pair.py::
+            # fused_swin_block_chain): for whole-block-eligible stages the
+            # pair kernel does NOT take (C=512/1024, or an odd tail
+            # block), run each block as ONE raw-map program that applies
+            # the next block's roll in-VMEM — consecutive blocks chain
+            # custom-call -> custom-call with zero XLA relayout/roll ops
+            # between (the ~3 ms/forward "copy" share in the round-4
+            # serving trace, docs/ROOFLINE.md §6).
+            use_chain = (
+                os.environ.get("MMRP_SWIN_CHAIN", "0") == "1"
+                and stage_pallas
+                and deterministic
+                and _pallas_backend()
+                and os.environ.get("MMRP_SWIN_WHOLE", "1") == "1"
+                and cfg.quant != "int8"  # dynamic int8: measured loss
+                and dim >= int(os.environ.get("MMRP_SWIN_WHOLE_MINC", "256"))
+                and res % ws == 0
+                and chain_vmem_ok(dim, res, res, cfg.num_heads[stage], ws,
+                                  cfg.mlp_ratio,
+                                  weight_bytes=(1 if cfg.quant ==
+                                                "int8_static" else 2))
+            )
+
+            def _mk(blk, bidx=None, ddim=dim, sstage=stage, wws=ws, rres=res):
+                # bidx: ABSOLUTE dpr/act_amax index. The pair branch calls
+                # with block_idx parked at the (even) pair start, so
+                # block_idx + (blk % 2) resolves the partner; the chain
+                # branch advances block_idx per block and passes it
+                # explicitly.
+                i = block_idx + (blk % 2) if bidx is None else bidx
                 return SwinBlock(
                     dim=ddim,
                     num_heads=cfg.num_heads[sstage],
@@ -742,11 +773,11 @@ class SwinEncoder(nn.Module):
                     shift=0 if blk % 2 == 0 else wws // 2,
                     input_resolution=(rres, rres),
                     mlp_ratio=cfg.mlp_ratio,
-                    drop_path=float(dpr[block_idx + (blk % 2)]),
+                    drop_path=float(dpr[i]),
                     dropout=cfg.dropout,
                     use_pallas=stage_pallas,
                     quant=cfg.quant,
-                    act_amax=(cfg.act_amax[block_idx + (blk % 2)]
+                    act_amax=(cfg.act_amax[i]
                               if cfg.act_amax is not None else None),
                     dtype=self.dtype,
                     name=f"stage{sstage}_block{blk}",
@@ -769,6 +800,24 @@ class SwinEncoder(nn.Module):
                     )
                     blk += 2
                     block_idx += 2
+                    continue
+                if use_chain:
+                    c = _mk(blk, bidx=block_idx)(x, deterministic, True)
+                    if blk + 1 < depth and res > ws:
+                        next_shift = 0 if (blk + 1) % 2 == 0 else ws // 2
+                    else:
+                        next_shift = 0
+                    x = fused_swin_block_chain(
+                        x, c["blk"], c["bias_pad"],
+                        cfg.num_heads[stage], ws,
+                        c["shift"] - next_shift,
+                        quant=("static" if cfg.quant == "int8_static"
+                               else False),
+                        wscales=c["wscales"],
+                        act_scales=c["act_scales"],
+                    )
+                    blk += 1
+                    block_idx += 1
                     continue
                 x = block_cls(
                     dim=dim,

@@ -709,9 +709,13 @@ def fused_swin_block_windows(
     wblk_eff = min(block_windows, nW)
     if image_block is None:
         # target >= ~448 GEMM rows per program so the MXU sees large M even
-        # at late stages (stage 4: nW=1 -> 8 images per program)
+        # at late stages (stage 4: nW=1 -> 8 images per program).
+        # MMRP_SWIB_<C> overrides ONE width without confounding the other
+        # stages (each stage computes its own default from its geometry).
         image_block = int(os.environ.get(
-            "MMRP_SWIB", str(max(1, 448 // (wblk_eff * npad)))))
+            f"MMRP_SWIB_{C}",
+            os.environ.get("MMRP_SWIB",
+                           str(max(1, 448 // (wblk_eff * npad))))))
     # Unpadded large-M flavor (see _pallas_impl) is the DEFAULT: measured
     # back-to-back on the Swin-B encoder (B=64) it wins 26.98 vs 28.62 ms
     # (-5.7%) — Mosaic's non-tile-aligned relayout costs less than the

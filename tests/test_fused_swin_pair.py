@@ -125,6 +125,7 @@ def test_encoder_pair_routing_matches_unpaired(monkeypatch):
     from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
 
     monkeypatch.setenv("MMRP_FORCE_PALLAS", "1")
+    monkeypatch.setenv("MMRP_SWIN_CHAIN", "0")  # isolate pair-vs-sequential
     cfg = SwinConfig(img_size=56, patch_size=4, embed_dim=256,
                      depths=(2,), num_heads=(8,), window_size=7,
                      drop_path_rate=0.0, dropout=0.0, use_pallas=True)
@@ -170,6 +171,7 @@ def test_odd_depth_leaves_tail_block_sequential(monkeypatch):
     from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
 
     monkeypatch.setenv("MMRP_FORCE_PALLAS", "1")
+    monkeypatch.setenv("MMRP_SWIN_CHAIN", "0")  # isolate pair-vs-sequential
     cfg = SwinConfig(img_size=56, patch_size=4, embed_dim=256,
                      depths=(3,), num_heads=(8,), window_size=7,
                      drop_path_rate=0.0, dropout=0.0, use_pallas=True)

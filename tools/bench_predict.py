@@ -215,6 +215,13 @@ def bench_rerank() -> dict:
 
 
 def main() -> None:
+    # MMRP_CPU=1: pin the CPU backend IN CODE — the axon site
+    # customization force-registers the tunneled TPU and JAX_PLATFORMS
+    # env alone is overridden (CLAUDE.md); same escape tests use.
+    if os.environ.get("MMRP_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from bench import setup_compile_cache
 
     setup_compile_cache()
