@@ -11,16 +11,27 @@ BENCH_SWIN=tiny selects the lighter stand-in (recorded under its own
 metric name). Baseline: the driver-set north star of 5,000 pairs/sec/chip
 (BASELINE.json).
 
-Default serving precision is the measured optimum mix (tools/ab_bench.py):
-bf16 fused Pallas attention + W8A8 int8 GEMMs (ops/quant.py) for the
-FLOP-bound fusion stack and BERT FFN + STATIC-scale W8A8 inside the Swin
-whole-block/pair kernels (round 4: pre-quantized weights + calibrated
-per-tensor activation scales, models/quant_calib.py — back-to-back
-Swin-B encoder −4.1% where dynamic quant lost +9.5%) — the analog of the
-reference's fp16 AMP serving, fidelity-gated by tests/test_quant_model.py
-and tests/test_quant_static.py (embedding cosine > 0.995 at every Swin-B
-stage width, stable retrieval order). BENCH_QUANT=int8 restores the
-round-3 mix (Swin bf16); =none selects pure bf16.
+Deadline discipline (round 5): round 4's driver bench timed out compiling
+the newest serving mix and recorded NOTHING (BENCH_r04.json rc=124).
+This file now guarantees a parseable line within BENCH_DEADLINE_S
+(default 870 s) via a watchdog thread that prints the best measurement
+so far (or an honest zero line) and exits 0. When BENCH_QUANT is not
+pinned by the caller, the TPU run measures the round-3-PROVEN `int8` mix
+FIRST (compiled inside the driver budget in BENCH_r03.json), stashes that
+line, and only then attempts the faster `int8_swins` mix with the
+remaining time. Explicitly setting BENCH_QUANT restores single-variant
+behavior for A/B tooling.
+
+Serving precision mixes (measured, tools/ab_bench.py):
+- `int8`   — bf16 fused Pallas Swin + W8A8 int8 GEMMs (ops/quant.py) for
+  the FLOP-bound fusion stack and BERT FFN/attention (round-3 default).
+- `int8_swins` — additionally STATIC-scale W8A8 inside the Swin
+  whole-block/pair kernels (pre-quantized weights + calibrated
+  per-tensor activation scales, models/quant_calib.py — back-to-back
+  Swin-B encoder −4.1% where dynamic quant lost +9.5%). Fidelity-gated
+  by tests/test_quant_model.py and tests/test_quant_static.py
+  (embedding cosine > 0.995 at every Swin-B stage width).
+- `none` — pure bf16.
 
 Timing methodology: the remote-execution tunnel used for this TPU neither
 honors block_until_ready nor re-executes deduplicated dispatches, so naive
@@ -36,15 +47,24 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
+
+_DEADLINE = [None]  # absolute time.monotonic() deadline, set by main()
+# Best-so-far result the watchdog may publish: {"line": dict|None,
+# "details": dict}. Updated under _LOCK as measurements complete.
+_BEST = {"line": None, "details": {}}
+_LOCK = threading.Lock()
 
 
 def setup_compile_cache() -> None:
     """Persistent XLA compile cache: repeat bench/A-B runs skip the
     multi-minute first compile through the tunnel. Shared by every tool
-    under tools/ (call before building models)."""
+    under tools/ (call before building models). NOTE: measured
+    ineffective across processes on the axon backend (server-side
+    compile) — kept because it is free and correct elsewhere."""
     import jax
 
     cache = os.path.join(os.path.expanduser("~"), ".cache", "mmrp_jax_cache")
@@ -56,7 +76,67 @@ def setup_compile_cache() -> None:
         pass
 
 
-def _build_model(use_pallas: bool, text_len: int, swin_name: str = None):
+def _publish(line: dict | None = None, details: dict | None = None) -> None:
+    """Record the best-so-far headline line / merged details for the
+    watchdog (and the normal exit path) to print."""
+    with _LOCK:
+        if line is not None:
+            _BEST["line"] = line
+        if details is not None:
+            _BEST["details"].update(details)
+
+
+def _emit_and_exit(code: int = 0) -> None:
+    """Write BENCH_DETAILS.json, print the single headline line, and
+    hard-exit. os._exit keeps rc=0 even when called from the watchdog
+    thread while the main thread is stuck in a tunnel compile."""
+    with _LOCK:
+        line = _BEST["line"]
+        details = dict(_BEST["details"])
+    if line is None:
+        line = {
+            "metric": "pairs_embedded_per_sec_per_chip(no-measurement)",
+            "value": 0.0,
+            "unit": "pairs/s/chip",
+            "vs_baseline": 0.0,
+        }
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as fh:
+            json.dump(details, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(line), flush=True)
+    os._exit(code)
+
+
+def _time_left() -> float:
+    if _DEADLINE[0] is None:
+        return float("inf")
+    return _DEADLINE[0] - time.monotonic()
+
+
+def _start_watchdog(deadline_s: float) -> None:
+    """Daemon thread: at the deadline, publish whatever has been measured
+    and exit 0. Runs even while the main thread is blocked inside a
+    GIL-releasing XLA/tunnel compile — the exact failure mode that ate
+    round 4's bench (BENCH_r04.json rc=124, nothing printed)."""
+    _DEADLINE[0] = time.monotonic() + deadline_s
+
+    def _watch():
+        while True:
+            left = _time_left()
+            if left <= 0:
+                _publish(details={"watchdog_fired": True,
+                                  "deadline_s": deadline_s})
+                _emit_and_exit(0)
+            time.sleep(min(left, 5.0))
+
+    threading.Thread(target=_watch, daemon=True, name="bench-watchdog").start()
+
+
+def _build_model(use_pallas: bool, text_len: int, swin_name: str = None,
+                 quant: str = None):
     import jax.numpy as jnp
 
     from mmrp_tpu.models.multimodal import MultiModalConfig, MultiModalRetrievalModel
@@ -64,20 +144,16 @@ def _build_model(use_pallas: bool, text_len: int, swin_name: str = None):
     from mmrp_tpu.models.text_encoder import TextConfig
 
     swin_name = swin_name or os.environ.get("BENCH_SWIN", "tiny")
-    # BENCH_QUANT=int8 selects the W8A8 serving path (ops/quant.py; fidelity
-    # validated in tests/test_quant_model.py — cosine>0.995, stable top-k).
-    # Measured mix (tools/ab_bench.py, back-to-back): fusion stack all-int8
-    # (15.8->13.5 ms, at the chip's int8 FLOP floor); BERT int8 INSIDE the
-    # fused attention kernel + int8 FFN (12.0 -> 9.96 ms vs bf16 fused);
-    # Swin stays bf16 (bandwidth-bound). "int8_all" = plain XLA W8A8
-    # everywhere (no fused kernels) for comparison.
-    # "int8_swins" additionally serves the Swin whole-block kernel with
-    # STATIC-scale W8A8 (pre-quantized weights + fixed per-tensor act
-    # scales — ops/fused_swin_block.py static flavor; fidelity gate
-    # tests/test_quant_static.py). Act-scale values do not affect speed,
-    # so the bench uses a constant (BENCH_ACT_AMAX, default 8.0); real
-    # serving calibrates via models/quant_calib.py.
-    quant = os.environ.get("BENCH_QUANT", "int8_swins")
+    # BENCH_QUANT selects the serving precision mix (module docstring).
+    # Measured mix history (tools/ab_bench.py, back-to-back): fusion stack
+    # all-int8 (15.8->13.5 ms, at the chip's int8 FLOP floor); BERT int8
+    # INSIDE the fused attention kernel + int8 FFN (12.0 -> 9.96 ms vs
+    # bf16 fused); Swin static-int8 whole-block kernels -4.1% (round 4).
+    # "int8_all" = plain XLA W8A8 everywhere (no fused kernels).
+    # Act-scale values do not affect speed, so the bench uses a constant
+    # (BENCH_ACT_AMAX, default 8.0); real serving calibrates via
+    # models/quant_calib.py.
+    quant = quant or os.environ.get("BENCH_QUANT", "int8_swins")
     swin_kw = {}
     if quant == "int8_swins":
         depths = {"tiny": (2, 2, 6, 2), "small": (2, 2, 18, 2),
@@ -101,12 +177,39 @@ def _build_model(use_pallas: bool, text_len: int, swin_name: str = None):
     return MultiModalRetrievalModel(cfg, dtype=jnp.bfloat16), cfg
 
 
-def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int):
-    """-> (pairs/sec, implied fraction of v5e bf16 peak)."""
+def _floor_pairs_per_sec(swin_name: str, text_len: int, quant: str) -> float:
+    """Measured mixed-precision FLOP floor (pairs/s) for this chip slice.
+
+    Rates are MEASURED on this tunneled slice (docs/ROOFLINE.md §1/§6),
+    not nominal v5e: bf16 ~105 TF/s; int8 ~151 TOP/s on the large fusion/
+    BERT GEMMs; static-int8 inside the Swin window kernels returns only
+    "bf16 + a small margin" on the M=392 x K=256..1024 window shapes —
+    modeled as 110 TF/s effective (the round-4 -4.1% encoder measurement,
+    ROOFLINE §6). Round 4's implied_peak_frac > 1 came from dividing the
+    int8_swins mix by the bf16-only 105 TF/s denominator.
+    """
+    swin_flops = {"tiny": 9.0e9, "small": 17.4e9, "base": 30.8e9}.get(
+        swin_name, 9.0e9)
+    bert_flops = 2.0 * 85e6 * text_len
+    fusion_flops = 12.4e9 + 60e6 * text_len  # const (patch/seq) + per-token
+    bf16, int8_big, int8_swin = 105e12, 151e12, 110e12
+    if quant == "none":
+        t = (swin_flops + bert_flops + fusion_flops) / bf16
+    elif quant == "int8_swins":
+        t = swin_flops / int8_swin + (bert_flops + fusion_flops) / int8_big
+    else:  # round-3 "int8"/"int8_all" mixes: Swin bf16, BERT+fusion int8
+        t = swin_flops / bf16 + (bert_flops + fusion_flops) / int8_big
+    return 1.0 / t
+
+
+def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int,
+                quant: str = None):
+    """-> (pairs/sec, fraction of the measured mixed-precision floor)."""
     import jax
     import jax.numpy as jnp
 
-    model, cfg = _build_model(use_pallas, text_len)
+    quant = quant or os.environ.get("BENCH_QUANT", "int8_swins")
+    model, cfg = _build_model(use_pallas, text_len, quant=quant)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((batch, 224, 224, 3), dtype=np.float32))
     ids = jnp.asarray(
@@ -132,7 +235,9 @@ def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int):
         return final.mean()
 
     fn = jax.jit(chained)
+    t_c0 = time.perf_counter()
     _ = float(fn(params, img, ids, mask))  # compile + warmup (full chain)
+    compile_s = time.perf_counter() - t_c0
     # median of several timed chains: dispatch jitter through the dev
     # tunnel is tens-of-ms scale (docs/ROOFLINE.md chip-state notes), so a
     # single chain carries avoidable noise; each repeat is a full chained
@@ -148,19 +253,12 @@ def bench_embed(batch: int, text_len: int, use_pallas: bool, iters: int):
     bench_embed.last_spread = {  # picked up into BENCH_DETAILS by main()
         "dt_repeats_s": [round(x, 5) for x in dts],
         "spread_pct": round(100.0 * (max(dts) - min(dts)) / dt, 2),
+        "compile_s": round(compile_s, 1),
     }
 
-    # FLOPs (2 x MACs): Swin GMACs 4.5/8.7/15.4 (tiny/small/base); BERT-base
-    # dims ~85M MACs/token; fusion stack 2.07 TF per 128 pairs at L64
-    # (docs/ROOFLINE.md §3), scaled by the text share for other lengths.
-    swin_flops = {"tiny": 9.0e9, "small": 17.4e9, "base": 30.8e9}.get(
-        os.environ.get("BENCH_SWIN", "tiny"), 9.0e9
-    )
-    fusion_flops = 12.4e9 + 60e6 * text_len  # const (patch/seq) + per-token
-    flops_per_pair = swin_flops + 2.0 * 85e6 * text_len + fusion_flops
-    # fraction of the MEASURED bf16 rate of this chip slice (~105 TF/s,
-    # docs/ROOFLINE.md §1), not the nominal 197: "1.0" = at the roof
-    return throughput, throughput * flops_per_pair / 105e12
+    swin_name = os.environ.get("BENCH_SWIN", "tiny")
+    floor = _floor_pairs_per_sec(swin_name, text_len, quant)
+    return throughput, throughput / floor
 
 
 def bench_retrieval(n_gallery: int, dim: int = 1024, k: int = 10, iters: int = 64):
@@ -193,7 +291,54 @@ def bench_retrieval(n_gallery: int, dim: int = 1024, k: int = 10, iters: int = 6
     return dt / iters * 1e3
 
 
+def _headline_line(throughput: float, swin_name: str, text_len: int,
+                   quant: str) -> dict:
+    arch_tag = {"base": "swin_b", "small": "swin_s", "tiny": "swin_t"}.get(
+        swin_name, swin_name)
+    dtype_tag = ("int8s-serve" if quant == "int8_swins"
+                 else "int8-serve" if quant.startswith("int8") else "bf16")
+    return {
+        "metric": f"pairs_embedded_per_sec_per_chip({arch_tag}"
+        f"+clinbert_dims,L{text_len},{dtype_tag})",
+        "value": round(throughput, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(throughput / 5000.0, 4),
+    }
+
+
+def _measure_variant(quant: str, batch: int, text_len: int, use_pallas: bool,
+                     iters: int, details: dict) -> float:
+    """Run one precision-mix variant; publish its line if it is the best
+    so far. Returns throughput (0.0 on failure)."""
+    swin_name = os.environ.get("BENCH_SWIN", "tiny")
+    row = {"quant": quant}
+    try:
+        throughput, floor_frac = bench_embed(batch, text_len, use_pallas,
+                                             iters, quant=quant)
+        row.update({
+            "embed_pairs_per_sec": throughput,
+            "floor_frac": floor_frac,
+            "embed_timing": getattr(bench_embed, "last_spread", None),
+        })
+    except Exception as e:  # noqa: BLE001 — record and continue
+        row["error_embed"] = repr(e)
+        throughput = 0.0
+    details.setdefault("variants", {})[quant] = row
+    with _LOCK:
+        prev = _BEST["line"]
+    if throughput > 0 and (prev is None or throughput > prev["value"]):
+        _publish(line=_headline_line(throughput, swin_name, text_len, quant))
+    _publish(details=details)
+    return throughput
+
+
 def main() -> None:
+    # Watchdog FIRST — backend init itself can hang through the tunnel.
+    # 870 s default: r03's proven full run (compile + measure) fit the
+    # driver budget; this leaves margin under any plausible timeout.
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "870"))
+    _start_watchdog(deadline_s)
+
     import jax
 
     setup_compile_cache()
@@ -212,15 +357,16 @@ def main() -> None:
         except (OSError, ValueError):
             pass
         details["error_backend_init"] = repr(e)
-        with open("BENCH_DETAILS.json", "w") as fh:
-            json.dump(details, fh, indent=1)
-        print(json.dumps({
-            "metric": "pairs_embedded_per_sec_per_chip(tpu-unavailable)",
-            "value": 0.0,
-            "unit": "pairs/s/chip",
-            "vs_baseline": 0.0,
-        }))
-        return
+        _publish(
+            line={
+                "metric": "pairs_embedded_per_sec_per_chip(tpu-unavailable)",
+                "value": 0.0,
+                "unit": "pairs/s/chip",
+                "vs_baseline": 0.0,
+            },
+            details=details,
+        )
+        _emit_and_exit(0)
     on_tpu = backend == "tpu"
     # headline = the FLAGSHIP parity architecture (Swin-B, reference
     # fusion.py:92). BENCH_SWIN=tiny selects the smaller stand-in, recorded
@@ -235,26 +381,45 @@ def main() -> None:
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     key = "pallas" if use_pallas else "xla"
 
-    quant = os.environ.get("BENCH_QUANT", "int8_swins")
-    dtype_tag = ("int8s-serve" if quant == "int8_swins"
-                 else "int8-serve" if quant.startswith("int8") else "bf16")
+    # Variant plan: an explicit BENCH_QUANT pins a single variant (A/B
+    # tooling). Otherwise on TPU: PROVEN `int8` mix first (guarantees a
+    # recorded >= round-3 number), then the `int8_swins` upgrade if the
+    # watchdog budget allows a second tunnel compile.
+    pinned = os.environ.get("BENCH_QUANT")
+    if pinned:
+        plan = [pinned]
+    elif on_tpu:
+        plan = ["int8", "int8_swins"]
+    else:
+        plan = ["int8_swins"]
+
     details = {"backend": backend, "swin": swin_name, "batch": batch,
-               "text_len": text_len, "attention_path": key, "quant": quant,
-               "method": "chained-scan, scalar fetch"}
-    throughput = 0.0
-    try:
-        throughput, mxu_frac = bench_embed(batch, text_len, use_pallas, iters)
-        details["embed_pairs_per_sec"] = throughput
-        details["implied_peak_frac"] = mxu_frac
-        details["embed_timing"] = getattr(bench_embed, "last_spread", None)
-    except Exception as e:  # noqa: BLE001 — record and continue
-        details["error_embed"] = repr(e)
+               "text_len": text_len, "attention_path": key,
+               "method": "chained-scan, scalar fetch",
+               "deadline_s": deadline_s, "plan": plan}
+
+    best = _measure_variant(plan[0], batch, text_len, use_pallas, iters,
+                            details)
 
     try:
         n_gal = 100_000 if on_tpu else 2_000
         details[f"retrieval_ms_per_query_{n_gal//1000}k"] = bench_retrieval(n_gal)
     except Exception as e:  # noqa: BLE001
         details["error_retrieval"] = repr(e)
+    _publish(details=details)
+
+    # Upgrade attempts: each needs a fresh tunnel compile (persistent cache
+    # is ineffective on axon — CLAUDE.md). Only attempt when enough budget
+    # remains; the watchdog still guarantees the stashed line either way.
+    min_upgrade_s = float(os.environ.get("BENCH_UPGRADE_MIN_S", "420"))
+    for quant in plan[1:]:
+        if _time_left() < min_upgrade_s:
+            details["upgrade_skipped"] = {
+                "quant": quant, "time_left_s": round(_time_left(), 1)}
+            break
+        t = _measure_variant(quant, batch, text_len, use_pallas, iters,
+                             details)
+        best = max(best, t)
 
     # merge separately-measured rows (same chained methodology, one model
     # build per process — see CLAUDE.md): training step (tools/bench_train.py)
@@ -274,23 +439,8 @@ def main() -> None:
                     details[key] = json.load(fh)
             except (OSError, ValueError) as e:  # noqa: PERF203
                 details[key] = {"error": repr(e)}
-
-    with open("BENCH_DETAILS.json", "w") as fh:
-        json.dump(details, fh, indent=1)
-
-    arch_tag = {"base": "swin_b", "small": "swin_s", "tiny": "swin_t"}.get(
-        swin_name, swin_name)
-    print(
-        json.dumps(
-            {
-                "metric": f"pairs_embedded_per_sec_per_chip({arch_tag}"
-                f"+clinbert_dims,L{text_len},{dtype_tag})",
-                "value": round(throughput, 2),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(throughput / 5000.0, 4),
-            }
-        )
-    )
+    _publish(details=details)
+    _emit_and_exit(0)
 
 
 if __name__ == "__main__":
