@@ -117,7 +117,7 @@ def _load(name: str, path: Path):
 
 
 @pytest.fixture(scope="session")
-def ref():
+def ref(tmp_path_factory):
     _install_stubs()
     pkg = types.ModuleType("refmodel")
     pkg.__path__ = [str(REF / "Model")]
@@ -125,6 +125,12 @@ def ref():
     fusion = _load("refmodel.fusion", REF / "Model" / "fusion.py")
     explain = _load("refmodel.explain", REF / "Model" / "explain.py")
     model = _load("refmodel.model", REF / "Model" / "model.py")
+    # The reference's training=True branch bootstraps a dummy gallery by
+    # writing EMBEDDINGS_DIR/dummy_embeddings.npy into its OWN repo tree
+    # (model.py:316-322, EMBEDDINGS_DIR from model.py:11) — /root/reference
+    # is read-only here, so point the module global at a writable tmp dir
+    # before any model construction.
+    model.EMBEDDINGS_DIR = tmp_path_factory.mktemp("ref_embeddings")
     helper = _load("refhelper", REF / "Helpers" / "helper.py")
     return types.SimpleNamespace(
         fusion=fusion, model=model, helper=helper, explain=explain
