@@ -42,7 +42,13 @@ def cmd_data(args) -> int:
         args.xml_dir, args.dicom_dir, cache_path=str(out / "records_cache.json")
     )
     print(f"[data] parsed {len(records)} records")
-    verifier = LabelVerifier(cache_path=str(out / "verify_cache.json"))
+    # the live rotating-key Gemini client activates when GEMINI_KEYS is
+    # set (data/verify.py::gemini_client_from_env); otherwise complete is
+    # None and verification is the offline cached/Unknown pass-through
+    from mmrp_tpu.data.verify import gemini_client_from_env
+
+    verifier = LabelVerifier(cache_path=str(out / "verify_cache.json"),
+                             complete=gemini_client_from_env())
     records = apply_verdicts(records, verifier.verify(records))
     eda_before_split(records, LABEL_COLS, str(out / "eda_before_split.json"))
     records = drop_zero_label_records(records)

@@ -176,17 +176,51 @@ def _roc_auc(y_true: np.ndarray, y_score: np.ndarray) -> float:
 
 
 def safe_average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
-    """AP; NaN when the column has a single class (reference helper.py:656)."""
+    """AP; NaN when the column has a single class (reference helper.py:656).
+
+    Tie handling matches sklearn's ``average_precision_score`` (which the
+    reference calls): items sharing a score collapse into ONE operating
+    point — AP = Σ_g (R_g − R_{g−1}) · P_g over distinct-score groups g in
+    descending-score order. For all-distinct scores this equals the
+    per-item Σ P_i·rel_i / n_pos formula; with ties it differs, and the
+    grouped form is the protocol the reference reports.
+    """
     y_true = np.asarray(y_true).astype(np.float64)
     if len(np.unique(y_true)) < 2:
         return float("nan")
-    order = np.argsort(-np.asarray(y_score), kind="mergesort")
-    yt = y_true[order]
-    cum_pos = np.cumsum(yt)
-    ranks = np.arange(1, len(yt) + 1, dtype=np.float64)
-    precision = cum_pos / ranks
-    total_pos = yt.sum()
-    return float(np.sum(precision * yt) / total_pos)
+    y_score = np.asarray(y_score, dtype=np.float64)
+    order = np.argsort(-y_score, kind="mergesort")
+    yt, ys = y_true[order], y_score[order]
+    distinct = np.where(np.diff(ys))[0]
+    idxs = np.r_[distinct, ys.size - 1]
+    tps = np.cumsum(yt)[idxs]
+    precision = tps / (idxs + 1.0)
+    recall = tps / tps[-1]
+    return float(np.sum(np.diff(np.r_[0.0, recall]) * precision))
+
+
+def pr_curve(y_true: np.ndarray, y_score: np.ndarray):
+    """Precision-recall curve with sklearn semantics (the reference's
+    thresholding oracle, eval_on_test.py:29-38 / train.py:161-167):
+    distinct-score operating points, outputs reversed to ascending
+    thresholds with a terminal (precision=1, recall=0) point. Returns
+    (precision, recall, thresholds) with
+    len(thresholds) == len(precision) - 1."""
+    y_true = np.asarray(y_true).astype(np.float64)
+    y_score = np.asarray(y_score, dtype=np.float64)
+    order = np.argsort(-y_score, kind="mergesort")
+    yt, ys = y_true[order], y_score[order]
+    distinct = np.where(np.diff(ys))[0]
+    idxs = np.r_[distinct, ys.size - 1]
+    tps = np.cumsum(yt)[idxs]
+    ps = idxs + 1.0
+    precision = np.divide(tps, ps, out=np.zeros_like(tps), where=ps != 0)
+    recall = np.ones_like(tps) if tps[-1] == 0 else tps / tps[-1]
+    thresholds = ys[idxs]
+    precision = precision[::-1]
+    recall = recall[::-1]
+    thresholds = thresholds[::-1]
+    return (np.hstack((precision, 1.0)), np.hstack((recall, 0.0)), thresholds)
 
 
 def prf1(y_true: np.ndarray, y_pred: np.ndarray) -> tuple:
@@ -216,7 +250,12 @@ def per_class_report(
     rows = []
     for c in range(n_classes):
         yt, yp = y_true[:, c], y_prob[:, c]
-        pred = (yp >= thresholds[c]).astype(int)
+        # STRICT > : the reference binarizes with y_prob > t everywhere
+        # (train.py:622, eval_on_test.py:137) even though its PR-curve
+        # thresholds are computed with >= semantics — the boundary item is
+        # dropped. Kept for bit-parity (thresholds are data values, so the
+        # boundary case is common, not a measure-zero event).
+        pred = (yp > thresholds[c]).astype(int)
         p, r, f1 = prf1(yt, pred)
         tp = int(((yt == 1) & (pred == 1)).sum())
         fp = int(((yt == 0) & (pred == 1)).sum())
@@ -242,16 +281,21 @@ def per_class_report(
     aurocs = np.array([r["auroc"] for r in rows], dtype=np.float64)
     aps = np.array([r["ap"] for r in rows], dtype=np.float64)
     f1s = np.array([r["f1"] for r in rows], dtype=np.float64)
-    preds = (y_prob >= thresholds[None, :]).astype(int)
+    preds = (y_prob > thresholds[None, :]).astype(int)
     micro_p, micro_r, micro_f1 = prf1(y_true.ravel(), preds.ravel())
     return {
         "per_class": rows,
         "macro_auroc": float(np.nanmean(aurocs)),
         "macro_ap": float(np.nanmean(aps)),
         "macro_f1": float(np.nanmean(f1s)),
+        "macro_precision": float(np.mean([r["precision"] for r in rows])),
+        "macro_recall": float(np.mean([r["recall"] for r in rows])),
         "micro_precision": micro_p,
         "micro_recall": micro_r,
         "micro_f1": micro_f1,
+        # reference eval_on_test.py:152-154: micro AP = sklearn AP over the
+        # flattened matrix, NaN on degenerate input
+        "micro_ap": safe_average_precision(y_true.ravel(), y_prob.ravel()),
     }
 
 
@@ -270,14 +314,24 @@ def composite_score(report: dict) -> float:
 def find_best_thresholds(
     y_true: np.ndarray, y_prob: np.ndarray, grid: Optional[np.ndarray] = None
 ) -> np.ndarray:
-    """Per-class F1-optimal threshold over a fixed grid.
+    """Per-class F1-optimal threshold, reference protocol by default.
 
-    Vectorized over (grid, samples, classes) — the reference does a Python
-    loop per class per threshold (src/Trainner/train.py:161-167). Ties break
-    toward the lower threshold (first argmax), matching np.argmax semantics.
+    Default (grid=None) reproduces the reference exactly (train.py:161-167
+    and eval_on_test.py:29-38): PR-curve operating points per class,
+    pick t[argmax 2pr/(p+r+1e-8)]; 0.5 when the curve has no thresholds
+    (constant scores). Pass an explicit ``grid`` for the vectorized
+    fixed-grid variant (faster, threshold values independent of the data).
     """
     if grid is None:
-        grid = np.arange(0.05, 0.96, 0.05)
+        best = []
+        for c in range(y_true.shape[1]):
+            p, r, t = pr_curve(y_true[:, c], y_prob[:, c])
+            if len(t) == 0:
+                best.append(0.5)
+                continue
+            f1 = 2 * p * r / (p + r + 1e-8)
+            best.append(float(t[int(np.argmax(f1))]))
+        return np.array(best)
     yt = y_true[None, :, :].astype(bool)  # (1, N, C)
     pred = y_prob[None, :, :] >= grid[:, None, None]  # (T, N, C)
     tp = np.sum(yt & pred, axis=1).astype(np.float64)  # (T, C)

@@ -111,6 +111,77 @@ class OntologyMapper:
         }
 
 
+def bioportal_lookup_from_env(
+    ontology: str = "SNOMEDCT",
+    env_var: str = "BIOPORTAL_API_KEY",
+    retries: int = 3,
+) -> Optional[Callable[[str], Optional[str]]]:
+    """Concrete BioPortal REST adapter for ``OntologyMapper``.
+
+    Reference protocol (ontology_mapper.py:108-148): GET
+    ``data.bioontology.org/search?q=<term>&ontologies=<onto>&apikey=…``
+    and take the first collection entry's ``@id``. Uses stdlib urllib
+    (zero extra deps), exponential backoff on transient failures, and NO
+    internal cache — OntologyMapper already caches every stage's result
+    atomically. Returns None when the env key is absent (offline mode)."""
+    key = os.environ.get(env_var, "").strip()
+    if not key:
+        return None
+    import time
+    import urllib.parse
+    import urllib.request
+
+    def lookup(term: str) -> Optional[str]:
+        params = urllib.parse.urlencode(
+            {"q": term, "ontologies": ontology, "apikey": key})
+        url = f"https://data.bioontology.org/search?{params}"
+        last: Optional[Exception] = None
+        for attempt in range(retries):
+            try:
+                with urllib.request.urlopen(url, timeout=10) as resp:
+                    data = json.loads(resp.read().decode("utf-8"))
+                coll = data.get("collection") or []
+                return coll[0].get("@id") if coll else None
+            except Exception as e:  # noqa: BLE001 — backoff and retry
+                last = e
+                time.sleep(min(60.0, 2.0 * (2 ** attempt)))
+        raise RuntimeError(f"BioPortal lookup failed for {term!r}: {last}")
+
+    return lookup
+
+
+def gemini_normalize_from_env(
+    model: str = "gemini-2.5-flash",
+    env_var: str = "GEMINI_KEYS",
+) -> Optional[Callable[[str], Optional[str]]]:
+    """Concrete LLM-normalization adapter for ``OntologyMapper``.
+
+    Wraps the rotating-key Gemini client (data/verify.py::
+    gemini_client_from_env — key rotation + dead-key eviction, the
+    reference's scheme at ontology_mapper.py:149-224) with the
+    reference's terminology-normalization prompt. Returns None when keys
+    or the SDK are absent (offline mode)."""
+    from mmrp_tpu.data.verify import gemini_client_from_env
+
+    complete = gemini_client_from_env(model=model, env_var=env_var)
+    if complete is None:
+        return None
+
+    def normalize(term: str) -> Optional[str]:
+        prompt = (
+            "You are a clinical terminology assistant. Given the following "
+            "free-text label, return the closest canonical disease/finding "
+            "name from standard ontologies (SNOMED CT, DOID, or RadLex). "
+            "Respond ONLY with the cleaned term, no explanation.\n\n"
+            "Return ONLY the exact SNOMED CT preferred term for the "
+            f"following clinical finding.\n\nLabel: {term}"
+        )
+        cleaned = complete(prompt).strip()
+        return cleaned or None
+
+    return normalize
+
+
 def run_mapper(
     out_dir: str,
     mapper: Optional[OntologyMapper] = None,
@@ -122,7 +193,14 @@ def run_mapper(
     from mmrp_tpu.labels import get_taxonomy
 
     tax = get_taxonomy()
-    mapper = mapper or OntologyMapper(cache_path=str(Path(out_dir) / "onto_cache.json"))
+    # live network stages activate automatically when their env keys exist
+    # (BIOPORTAL_API_KEY / GEMINI_KEYS); otherwise they stay None and the
+    # cascade ends at the LOCAL: fallback — same CLI, both environments
+    mapper = mapper or OntologyMapper(
+        cache_path=str(Path(out_dir) / "onto_cache.json"),
+        bioportal_lookup=bioportal_lookup_from_env(),
+        llm_normalize=gemini_normalize_from_env(),
+    )
     written = {}
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -40,10 +40,18 @@ from mmrp_tpu.models.layers import DenseParams, LnParams, MhaParams, ln_f32
 
 def _use_fused_attn(enabled: bool, deterministic: bool, dropout: float,
                     *token_counts: int) -> bool:
+    import os
+
     from mmrp_tpu.models.swin import _pallas_backend
 
     return (
         enabled
+        # A/B kill-switch for the FUSION stack only (Swin kernels keep
+        # their own gates): MMRP_FUSION_FUSED=0 routes fusion attention
+        # through XLA — used by the explain-path A/B (ROOFLINE §9: the IG
+        # scan differentiates the fusion head, where the custom-VJP
+        # kernel was a measured TRAIN loss; serve keeps the fused path).
+        and os.environ.get("MMRP_FUSION_FUSED", "1") == "1"
         and (deterministic or dropout == 0.0)
         and all(n % 8 == 0 for n in token_counts)
         and _pallas_backend()

@@ -105,7 +105,7 @@ def run_trial(batch: int, kv: dict) -> dict:
         lowered = jax.jit(step).lower(state, jb)
     else:
         fwd = lambda p, b: model.apply(  # noqa: E731
-            p, b["image"], b["input_ids"], b["attention_mask"],
+            {"params": p}, b["image"], b["input_ids"], b["attention_mask"],
             deterministic=True)["logits"].sum()
         lowered = jax.jit(fwd).lower(state.params, jb)
     lowered.compile()
