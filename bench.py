@@ -14,8 +14,12 @@ metric name). Baseline: the driver-set north star of 5,000 pairs/sec/chip
 Deadline discipline (round 5): round 4's driver bench timed out compiling
 the newest serving mix and recorded NOTHING (BENCH_r04.json rc=124).
 This file now guarantees a parseable line within BENCH_DEADLINE_S
-(default 870 s) via a watchdog thread that prints the best measurement
-so far (or an honest zero line) and exits 0. When BENCH_QUANT is not
+(default 520 s — under any plausible driver `timeout`) via a watchdog
+thread that prints the best measurement so far (or an honest zero line)
+and exits 0. When more variants remain, the best line so far is ALSO
+printed provisionally as soon as it exists, so even an external kill
+mid-upgrade leaves a parseable tail; the LAST printed line is the
+result. When BENCH_QUANT is not
 pinned by the caller, the TPU run measures the round-3-PROVEN `int8` mix
 FIRST (compiled inside the driver budget in BENCH_r03.json), stashes that
 line, and only then attempts the faster `int8_swins` mix with the
@@ -334,9 +338,10 @@ def _measure_variant(quant: str, batch: int, text_len: int, use_pallas: bool,
 
 def main() -> None:
     # Watchdog FIRST — backend init itself can hang through the tunnel.
-    # 870 s default: r03's proven full run (compile + measure) fit the
-    # driver budget; this leaves margin under any plausible timeout.
-    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "870"))
+    # 520 s default: under any plausible driver `timeout` (the round-4
+    # kill fired with nothing printed; the exact cap is unknown, so the
+    # watchdog must be the FIRST deadline to fire).
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "520"))
     _start_watchdog(deadline_s)
 
     import jax
@@ -407,6 +412,14 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         details["error_retrieval"] = repr(e)
     _publish(details=details)
+
+    # Provisional print: if an external kill lands mid-upgrade (the driver
+    # cap is unknown), the tail still holds a parseable line. The LAST
+    # printed line is the result.
+    with _LOCK:
+        prov = _BEST["line"]
+    if prov is not None and len(plan) > 1:
+        print(json.dumps(prov), flush=True)
 
     # Upgrade attempts: each needs a fresh tunnel compile (persistent cache
     # is ineffective on axon — CLAUDE.md). Only attempt when enough budget
