@@ -193,3 +193,36 @@ def test_encoder_chain_static_int8(monkeypatch):
     cos = (a * r).sum(-1) / (
         np.linalg.norm(a, axis=-1) * np.linalg.norm(r, axis=-1) + 1e-12)
     assert cos.min() > 0.995, cos
+
+
+def test_encoder_pair_plus_chain_combined(monkeypatch):
+    """The serving arm measured on-chip (round-5 trio arm C): pair kernel
+    at C=256 AND roll-chain at C=512 in the SAME encoder, static-int8 —
+    both routings active at once must stay faithful to the float
+    sequential path (two stages, 28->14 maps, a real patch-merge between)."""
+    from mmrp_tpu.models.swin import SwinConfig, SwinEncoder
+
+    monkeypatch.setenv("MMRP_FORCE_PALLAS", "1")
+    monkeypatch.setenv("MMRP_SWIN_PAIR", "1")
+    monkeypatch.setenv("MMRP_SWIN_CHAIN", "1")
+    base = dict(img_size=112, patch_size=4, embed_dim=256, depths=(2, 2),
+                num_heads=(8, 16), window_size=7, drop_path_rate=0.0,
+                dropout=0.0)
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((1, 112, 112, 3), dtype=np.float32))
+
+    ref_model = SwinEncoder(SwinConfig(**base, use_pallas=False),
+                            dtype=jnp.float32)
+    params = ref_model.init(jax.random.PRNGKey(0), img)["params"]
+    ref = ref_model.apply({"params": params}, img)
+
+    q_model = SwinEncoder(
+        SwinConfig(**base, use_pallas=True, quant="int8_static",
+                   act_amax=((8.0,) * 4,) * 4),
+        dtype=jnp.bfloat16)
+    got = q_model.apply({"params": params}, img)
+    a = np.asarray(got["global"], np.float32)
+    r = np.asarray(ref["global"], np.float32)
+    cos = (a * r).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(r, axis=-1) + 1e-12)
+    assert cos.min() > 0.995, cos
