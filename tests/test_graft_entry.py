@@ -28,9 +28,12 @@ def _clean_env(**extra):
 
 
 def test_dryrun_multichip_bootstraps_virtual_mesh():
+    # sections=boot: these two tests pin the BOOTSTRAP machinery; the one
+    # full-section dryrun in the suite is tests/test_train_step.py::
+    # test_dryrun_multichip_8dev (VERDICT r4 #9 — suite wall time)
     proc = subprocess.run(
         [sys.executable, str(REPO / "__graft_entry__.py"), "8"],
-        env=_clean_env(),
+        env=_clean_env(MMRP_DRYRUN_SECTIONS="boot"),
         cwd=str(REPO),
         capture_output=True,
         text=True,
@@ -55,7 +58,7 @@ def test_dryrun_multichip_reexecs_when_jax_preinitialized():
     )
     proc = subprocess.run(
         [sys.executable, "-c", code],
-        env=_clean_env(),
+        env=_clean_env(MMRP_DRYRUN_SECTIONS="boot"),
         cwd=str(REPO),
         capture_output=True,
         text=True,

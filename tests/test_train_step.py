@@ -96,7 +96,10 @@ def test_dryrun_multichip_8dev():
     G.dryrun_multichip(8)
 
 
-def test_dryrun_multichip_2dev():
+def test_dryrun_multichip_2dev(monkeypatch):
+    # odd mesh shape check only needs the core sections; the 8dev test
+    # above is the suite's one FULL dryrun (VERDICT r4 #9)
+    monkeypatch.setenv("MMRP_DRYRUN_SECTIONS", "boot")
     import __graft_entry__ as G
 
     G.dryrun_multichip(2)
