@@ -744,8 +744,13 @@ class SwinEncoder(nn.Module):
             # custom-call -> custom-call with zero XLA relayout/roll ops
             # between (the ~3 ms/forward "copy" share in the round-4
             # serving trace, docs/ROOFLINE.md §6).
+            # DEFAULT ON since the round-5 clean trio (Swin-B B=64
+            # static-int8, back-to-back: pair-off 25.75 / pair256 25.34 /
+            # pair256+chain 24.99 ms, docs/chain_trio_r5.jsonl) — the
+            # chain is a -2.9% serve win over pair-off and -1.4% over
+            # pair-only. MMRP_SWIN_CHAIN=0 restores the pair-only route.
             use_chain = (
-                os.environ.get("MMRP_SWIN_CHAIN", "0") == "1"
+                os.environ.get("MMRP_SWIN_CHAIN", "1") == "1"
                 and stage_pallas
                 and deterministic
                 and _pallas_backend()
