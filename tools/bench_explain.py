@@ -179,7 +179,10 @@ def main() -> None:
         }
         suffix = "" if ig_level != "patch" else "_patch"
         ck = "" if k == 1 else f"_c{k}"
-        existing[f"{swin_name}_B{batch}_ig{ig_steps}{suffix}{ck}"] = row
+        # keep historical pallas-arm key names; the BENCH_PALLAS=0 arm
+        # gets its own rows so the A/B survives in one file
+        ap = "" if use_pallas else "_xla"
+        existing[f"{swin_name}_B{batch}_ig{ig_steps}{suffix}{ck}{ap}"] = row
         out_path.write_text(json.dumps(existing, indent=1))
         print(json.dumps(row, indent=1))
 
