@@ -403,8 +403,20 @@ def main() -> None:
                "method": "chained-scan, scalar fetch",
                "deadline_s": deadline_s, "plan": plan}
 
+    # The PROVEN first arm must stay the exact round-3 program: the
+    # roll-chain kernel (serving default since the round-5 trio,
+    # models/swin.py) is VMEM-eligible at C=512 even under bf16 weights,
+    # and its first Mosaic compile through the tunnel measured ~18 extra
+    # minutes (docs/chain_trio_r5.jsonl arm C) — enough to blow the
+    # watchdog deadline and record a zero. Chain stays ON for the
+    # int8_swins upgrade arm and everywhere outside this guarantee.
+    chain_was = os.environ.get("MMRP_SWIN_CHAIN")
+    if not pinned and chain_was is None:
+        os.environ["MMRP_SWIN_CHAIN"] = "0"
     best = _measure_variant(plan[0], batch, text_len, use_pallas, iters,
                             details)
+    if not pinned and chain_was is None:
+        del os.environ["MMRP_SWIN_CHAIN"]
 
     try:
         n_gal = 100_000 if on_tpu else 2_000
