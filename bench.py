@@ -13,13 +13,15 @@ metric name). Baseline: the driver-set north star of 5,000 pairs/sec/chip
 
 Deadline discipline (round 5): round 4's driver bench timed out compiling
 the newest serving mix and recorded NOTHING (BENCH_r04.json rc=124).
-This file now guarantees a parseable line within BENCH_DEADLINE_S
-(default 520 s — under any plausible driver `timeout`) via a watchdog
-thread that prints the best measurement so far (or an honest zero line)
-and exits 0. When more variants remain, the best line so far is ALSO
-printed provisionally as soon as it exists, so even an external kill
-mid-upgrade leaves a parseable tail; the LAST printed line is the
-result. When BENCH_QUANT is not
+A watchdog thread guarantees parseable output with TWO deadlines:
+SOFT (BENCH_DEADLINE_S, default 520 s) prints the best line so far — or
+an honest zero — and keeps measuring; HARD (BENCH_HARD_DEADLINE_S,
+default 1500 s) prints and exits 0. The first real measurement is also
+printed the moment it lands, before the retrieval bench or any upgrade
+compile, so an external kill at ANY point after ~10 min leaves a real
+number in the tail; the LAST printed line is the result. (The single
+520 s exit recorded a zero once in round 5 when one tunnel compile ran
+past it — hence soft-print-and-continue.) When BENCH_QUANT is not
 pinned by the caller, the TPU run measures the round-3-PROVEN `int8` mix
 FIRST (compiled inside the driver budget in BENCH_r03.json), stashes that
 line, and only then attempts the faster `int8_swins` mix with the
@@ -90,6 +92,37 @@ def _publish(line: dict | None = None, details: dict | None = None) -> None:
             _BEST["details"].update(details)
 
 
+def _merge_side_files(details: dict) -> None:
+    """Fold the separately-measured row files into details so even a
+    watchdog exit leaves a complete BENCH_DETAILS.json (the round-5
+    zero-line run clobbered the history because this merge only ran on
+    the normal exit path)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for side, key in (("BENCH_TRAIN.json", "train_step"),
+                      ("BENCH_TRAIN_FLAGSHIP.json", "train_step_flagship"),
+                      ("BENCH_FLAGSHIP.json", "flagship_embed"),
+                      ("BENCH_EXPLAIN.json", "explain"),
+                      ("BENCH_STREAM.json", "stream"),
+                      ("BENCH_KG.json", "kg_train"),
+                      ("BENCH_LOADER.json", "input_pipeline")):
+        p = os.path.join(here, side)
+        if os.path.exists(p) and key not in details:
+            try:
+                with open(p) as fh:
+                    details[key] = json.load(fh)
+            except (OSError, ValueError) as e:  # noqa: PERF203
+                details[key] = {"error": repr(e)}
+
+
+def _zero_line() -> dict:
+    return {
+        "metric": "pairs_embedded_per_sec_per_chip(no-measurement)",
+        "value": 0.0,
+        "unit": "pairs/s/chip",
+        "vs_baseline": 0.0,
+    }
+
+
 def _emit_and_exit(code: int = 0) -> None:
     """Write BENCH_DETAILS.json, print the single headline line, and
     hard-exit. os._exit keeps rc=0 even when called from the watchdog
@@ -98,13 +131,9 @@ def _emit_and_exit(code: int = 0) -> None:
         line = _BEST["line"]
         details = dict(_BEST["details"])
     if line is None:
-        line = {
-            "metric": "pairs_embedded_per_sec_per_chip(no-measurement)",
-            "value": 0.0,
-            "unit": "pairs/s/chip",
-            "vs_baseline": 0.0,
-        }
+        line = _zero_line()
     try:
+        _merge_side_files(details)
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as fh:
             json.dump(details, fh, indent=1)
@@ -120,21 +149,41 @@ def _time_left() -> float:
     return _DEADLINE[0] - time.monotonic()
 
 
-def _start_watchdog(deadline_s: float) -> None:
-    """Daemon thread: at the deadline, publish whatever has been measured
-    and exit 0. Runs even while the main thread is blocked inside a
-    GIL-releasing XLA/tunnel compile — the exact failure mode that ate
-    round 4's bench (BENCH_r04.json rc=124, nothing printed)."""
-    _DEADLINE[0] = time.monotonic() + deadline_s
+def _start_watchdog(soft_s: float, hard_s: float) -> None:
+    """Daemon thread with TWO deadlines (round-5 hardening — the single
+    520 s exit recorded a zero when one tunnel compile ran long):
+
+    - SOFT (BENCH_DEADLINE_S): print the best line so far — or the honest
+      zero line — and KEEP RUNNING. The driver parses the LAST JSON line
+      of stdout, so if its own timeout kills us later the tail still
+      holds a parseable line (round-4's rc=124 had nothing at all).
+    - HARD (BENCH_HARD_DEADLINE_S): emit and exit 0, so a well-behaved
+      run always ends with rc=0 before any plausible external cap.
+
+    Runs even while the main thread is blocked inside a GIL-releasing
+    XLA/tunnel compile.
+    """
+    _DEADLINE[0] = time.monotonic() + hard_s
+    soft_at = time.monotonic() + soft_s
+    fired = [False]
 
     def _watch():
         while True:
+            now = time.monotonic()
+            if not fired[0] and now >= soft_at:
+                fired[0] = True
+                _publish(details={"soft_deadline_fired": True,
+                                  "soft_deadline_s": soft_s})
+                with _LOCK:
+                    line = _BEST["line"] or _zero_line()
+                print(json.dumps(line), flush=True)
             left = _time_left()
             if left <= 0:
                 _publish(details={"watchdog_fired": True,
-                                  "deadline_s": deadline_s})
+                                  "hard_deadline_s": hard_s})
                 _emit_and_exit(0)
-            time.sleep(min(left, 5.0))
+            time.sleep(min(max(soft_at - now, 0.1) if not fired[0]
+                           else left, 5.0))
 
     threading.Thread(target=_watch, daemon=True, name="bench-watchdog").start()
 
@@ -338,11 +387,15 @@ def _measure_variant(quant: str, batch: int, text_len: int, use_pallas: bool,
 
 def main() -> None:
     # Watchdog FIRST — backend init itself can hang through the tunnel.
-    # 520 s default: under any plausible driver `timeout` (the round-4
-    # kill fired with nothing printed; the exact cap is unknown, so the
-    # watchdog must be the FIRST deadline to fire).
+    # SOFT 520 s: prints a parseable line early (the driver's own cap is
+    # unknown; round-4's kill fired with nothing printed) and keeps
+    # measuring. HARD 1500 s: rc=0 exit with the best line — one slow
+    # tunnel compile (historical int8-mix compile_s 245-542 s, observed
+    # >520 s once in round 5) still lands a real number instead of the
+    # soft zero.
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "520"))
-    _start_watchdog(deadline_s)
+    hard_s = float(os.environ.get("BENCH_HARD_DEADLINE_S", "1500"))
+    _start_watchdog(deadline_s, max(hard_s, deadline_s + 1.0))
 
     import jax
 
@@ -418,20 +471,20 @@ def main() -> None:
     if not pinned and chain_was is None:
         del os.environ["MMRP_SWIN_CHAIN"]
 
+    # Print the first real line IMMEDIATELY — before the retrieval bench
+    # and any upgrade compile — so an external kill at any later point
+    # leaves it in the tail (the LAST printed line is the result).
+    with _LOCK:
+        prov = _BEST["line"]
+    if prov is not None:
+        print(json.dumps(prov), flush=True)
+
     try:
         n_gal = 100_000 if on_tpu else 2_000
         details[f"retrieval_ms_per_query_{n_gal//1000}k"] = bench_retrieval(n_gal)
     except Exception as e:  # noqa: BLE001
         details["error_retrieval"] = repr(e)
     _publish(details=details)
-
-    # Provisional print: if an external kill lands mid-upgrade (the driver
-    # cap is unknown), the tail still holds a parseable line. The LAST
-    # printed line is the result.
-    with _LOCK:
-        prov = _BEST["line"]
-    if prov is not None and len(plan) > 1:
-        print(json.dumps(prov), flush=True)
 
     # Upgrade attempts: each needs a fresh tunnel compile (persistent cache
     # is ineffective on axon — CLAUDE.md). Only attempt when enough budget
