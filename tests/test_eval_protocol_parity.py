@@ -88,15 +88,18 @@ def ref_eval():
             for k, v in attrs.items():
                 setattr(m, k, v)
             sys.modules[name] = m
-    if "Helpers" not in sys.modules or not hasattr(
-            sys.modules.get("Helpers"), "log_and_print"):
+    # MERGE into any existing Helpers stub (test_reference_parity installs
+    # one with load_hf_model_or_local/download_swin — replacing the module
+    # wholesale would break its session-cached reference modules)
+    helpers = sys.modules.get("Helpers")
+    if helpers is None:
         helpers = types.ModuleType("Helpers")
+        sys.modules["Helpers"] = helpers
+    if not hasattr(helpers, "Config"):
         helpers.Config = types.SimpleNamespace(
             load=lambda *a, **k: types.SimpleNamespace())
+    if not hasattr(helpers, "log_and_print"):
         helpers.log_and_print = lambda *a, **k: None
-        helpers.safe_roc_auc = None  # replaced below with the real ones
-        helpers.safe_avg_precision = None
-        sys.modules["Helpers"] = helpers
     helper = sys.modules.get("refhelper")
     if helper is None:
         # load the REAL helper.py for safe_roc_auc / safe_avg_precision —

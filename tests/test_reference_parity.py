@@ -82,7 +82,16 @@ def _install_stubs() -> None:
     helpers.Config = types.SimpleNamespace(
         load=lambda *a, **k: types.SimpleNamespace()
     )
-    sys.modules.setdefault("Helpers", helpers)
+    # MERGE into any existing Helpers stub (test_eval_protocol_parity
+    # installs one with only log_and_print/safe_* — a plain setdefault
+    # would keep it and break `from Helpers import load_hf_model_or_local`)
+    existing = sys.modules.get("Helpers")
+    if existing is None:
+        sys.modules["Helpers"] = helpers
+    else:
+        for k, v in vars(helpers).items():
+            if not k.startswith("__") and not hasattr(existing, k):
+                setattr(existing, k, v)
 
     medclip = types.ModuleType("medclip")
     medclip.MedCLIPModel = object
